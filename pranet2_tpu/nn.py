@@ -1,0 +1,194 @@
+"""Shared flax.linen building blocks (NHWC, bf16-capable).
+
+One implementation of each block the reference duplicates (~5 copies of
+``BasicConv2d``, 2 of decoders, …).  Naming mirrors the torch attribute paths
+so the ``.pth`` → pytree converter (`pranet2_tpu.utils.torch_convert`) is a
+mechanical rename.
+
+BatchNorm notes: the reference models instantiate plain ``nn.BatchNorm2d``
+(momentum 0.1, eps 1e-5) — SURVEY.md §7 hard-part (c).  Under ``jit`` over a
+data-sharded mesh, batch statistics are computed over the *global* batch (XLA
+inserts the cross-replica reductions), which subsumes the reference's entire
+SyncBN/thread-pipe subsystem (``binary_seg/lib/nn/``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pranet2_tpu.ops import resize_bilinear
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class BatchNorm(nn.Module):
+    """torch-semantics BatchNorm2d (momentum 0.1 torch == 0.9 flax, eps 1e-5)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+
+
+class ConvBN(nn.Module):
+    """conv(bias=False) + BN, **no** activation in the call (torch ``BasicConv2d``).
+
+    Callers wrap with ``nn.relu`` explicitly, matching the reference's
+    ``F.relu(self.ra4_conv2(x))`` pattern.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    stride: int = 1
+    padding: int | tuple[int, int] = 0
+    dilation: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        x = nn.Conv(
+            self.features,
+            (kh, kw),
+            strides=(self.stride, self.stride),
+            padding=((ph, ph), (pw, pw)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return x
+
+
+class ConvBNReLU(nn.Module):
+    """3x3 conv + BN + ReLU (torch ``conv3x3_bn_relu``)."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(
+            self.features, 3, self.stride, 1, dtype=self.dtype, name="cb"
+        )(x, train)
+        return nn.relu(x)
+
+
+class RFB(nn.Module):
+    """Receptive-field block — 4 multi-scale branches, concat-fuse + residual.
+
+    Reference behavior: ``binary_seg/lib/pranet.py:46-83`` (branch k uses
+    1xk/kx1 separable convs then a 3x3 with dilation k for k in {3,5,7}).
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features
+        dt = self.dtype
+
+        def seq(x, layers):
+            for l in layers:
+                x = l(x, train)
+            return x
+
+        x0 = ConvBN(c, 1, dtype=dt, name="branch0_0")(x, train)
+        x1 = seq(x, [
+            ConvBN(c, 1, dtype=dt, name="branch1_0"),
+            ConvBN(c, (1, 3), padding=(0, 1), dtype=dt, name="branch1_1"),
+            ConvBN(c, (3, 1), padding=(1, 0), dtype=dt, name="branch1_2"),
+            ConvBN(c, 3, padding=3, dilation=3, dtype=dt, name="branch1_3"),
+        ])
+        x2 = seq(x, [
+            ConvBN(c, 1, dtype=dt, name="branch2_0"),
+            ConvBN(c, (1, 5), padding=(0, 2), dtype=dt, name="branch2_1"),
+            ConvBN(c, (5, 1), padding=(2, 0), dtype=dt, name="branch2_2"),
+            ConvBN(c, 3, padding=5, dilation=5, dtype=dt, name="branch2_3"),
+        ])
+        x3 = seq(x, [
+            ConvBN(c, 1, dtype=dt, name="branch3_0"),
+            ConvBN(c, (1, 7), padding=(0, 3), dtype=dt, name="branch3_1"),
+            ConvBN(c, (7, 1), padding=(3, 0), dtype=dt, name="branch3_2"),
+            ConvBN(c, 3, padding=7, dilation=7, dtype=dt, name="branch3_3"),
+        ])
+        x_cat = ConvBN(c, 3, padding=1, dtype=dt, name="conv_cat")(
+            jnp.concatenate([x0, x1, x2, x3], axis=-1), train
+        )
+        res = ConvBN(c, 1, dtype=dt, name="conv_res")(x, train)
+        return nn.relu(x_cat + res)
+
+
+class PartialDecoder(nn.Module):
+    """Cascaded partial decoder (GCPD-style aggregation of 3 RFB maps).
+
+    ``num_class is None`` → V1 single-head (``PraNet_Res2Net.py:64-98``);
+    otherwise V2 dual fg/bg heads (``pranet.py:86-125``).  Takes the 3 maps
+    deepest-first: x1 = 1/32 scale, x2 = 1/16, x3 = 1/8.  All internal
+    upsamples are x2 bilinear **align_corners=True** (``pranet.py:93``).
+    """
+
+    channel: int
+    num_class: int | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, train: bool = False):
+        c, dt = self.channel, self.dtype
+
+        def up2(t):
+            n, h, w, _ = t.shape
+            return resize_bilinear(t, (2 * h, 2 * w), align_corners=True)
+
+        cu1 = ConvBN(c, 3, padding=1, dtype=dt, name="conv_upsample1")
+        cu2 = ConvBN(c, 3, padding=1, dtype=dt, name="conv_upsample2")
+        cu3 = ConvBN(c, 3, padding=1, dtype=dt, name="conv_upsample3")
+        cu4 = ConvBN(c, 3, padding=1, dtype=dt, name="conv_upsample4")
+        cu5 = ConvBN(2 * c, 3, padding=1, dtype=dt, name="conv_upsample5")
+
+        x1_1 = x1
+        x2_1 = cu1(up2(x1), train) * x2
+        x3_1 = cu2(up2(up2(x1)), train) * cu3(up2(x2), train) * x3
+
+        x2_2 = jnp.concatenate([x2_1, cu4(up2(x1_1), train)], axis=-1)
+        x2_2 = ConvBN(2 * c, 3, padding=1, dtype=dt, name="conv_concat2")(x2_2, train)
+
+        x3_2 = jnp.concatenate([x3_1, cu5(up2(x2_2), train)], axis=-1)
+        x3_2 = ConvBN(3 * c, 3, padding=1, dtype=dt, name="conv_concat3")(x3_2, train)
+
+        x = ConvBN(3 * c, 3, padding=1, dtype=dt, name="conv4")(x3_2, train)
+        if self.num_class is None:
+            return nn.Conv(1, (1, 1), dtype=dt, param_dtype=jnp.float32,
+                           name="conv5")(x)
+        fg = nn.Conv(self.num_class, (1, 1), dtype=dt, param_dtype=jnp.float32,
+                     name="conv5_fg")(x)
+        bg = nn.Conv(self.num_class, (1, 1), dtype=dt, param_dtype=jnp.float32,
+                     name="conv5_bg")(x)
+        return fg, bg
