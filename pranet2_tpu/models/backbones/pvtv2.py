@@ -1,0 +1,193 @@
+"""PVTv2 backbone (flax, NHWC) — pyramid ViT with spatial-reduction attention.
+
+Behavioral spec re-derived from ``binary_seg/lib/pvtv2.py``:
+* 4 stages; each = OverlapPatchEmbed (7x7/4 first, then 3x3/2) -> N blocks ->
+  LayerNorm -> reshape to NHWC feature map.
+* Block = LN -> SRA attention -> residual, LN -> MLP(DWConv) -> residual,
+  with stochastic depth (linear ramp to ``drop_path_rate``).
+* SRA: queries from all tokens; K/V from a ``sr_ratio``-strided conv
+  downsample + LN (identity at stage 4).  This is the reference's answer to
+  long-context: shrink KV instead of sharding it (SURVEY.md §5).
+* MLP: fc1 -> 3x3 depthwise conv (on the 2-D map) -> GELU -> fc2.
+* Variants b0-b5 (dims/depths/heads per ``pvtv2.py:387-436``); LN eps 1e-6.
+
+TPU notes: attention shapes are modest (stage-1 at 352^2 input: 7744 q x 121
+kv) — a single dense dot_product_attention per stage is MXU-friendly; no
+flash/ring machinery is warranted.  Everything is static-shape; drop-path
+randomness comes from the flax 'dropout' RNG collection in training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+PVT_CONFIGS = {
+    "b0": dict(embed_dims=(32, 64, 160, 256), depths=(2, 2, 2, 2),
+               num_heads=(1, 2, 5, 8), mlp_ratios=(8, 8, 4, 4)),
+    "b1": dict(embed_dims=(64, 128, 320, 512), depths=(2, 2, 2, 2),
+               num_heads=(1, 2, 5, 8), mlp_ratios=(8, 8, 4, 4)),
+    "b2": dict(embed_dims=(64, 128, 320, 512), depths=(3, 4, 6, 3),
+               num_heads=(1, 2, 5, 8), mlp_ratios=(8, 8, 4, 4)),
+    "b3": dict(embed_dims=(64, 128, 320, 512), depths=(3, 4, 18, 3),
+               num_heads=(1, 2, 5, 8), mlp_ratios=(8, 8, 4, 4)),
+    "b4": dict(embed_dims=(64, 128, 320, 512), depths=(3, 8, 27, 3),
+               num_heads=(1, 2, 5, 8), mlp_ratios=(8, 8, 4, 4)),
+    "b5": dict(embed_dims=(64, 128, 320, 512), depths=(3, 6, 40, 3),
+               num_heads=(1, 2, 5, 8), mlp_ratios=(4, 4, 4, 4)),
+}
+
+_SR_RATIOS = (8, 4, 2, 1)
+
+
+def _drop_path(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class _Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, hw, deterministic=True):
+        h, w = hw
+        b, n, c = x.shape
+        dt = self.dtype
+        x = nn.Dense(self.hidden, dtype=dt, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        # depthwise 3x3 on the 2-D map
+        xm = x.reshape(b, h, w, self.hidden)
+        xm = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                     feature_group_count=self.hidden, dtype=dt,
+                     param_dtype=jnp.float32, name="dwconv")(xm)
+        x = xm.reshape(b, n, self.hidden)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=dt, param_dtype=jnp.float32,
+                     name="fc2")(x)
+        return x
+
+
+class _SRAttention(nn.Module):
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, hw, deterministic=True):
+        h, w = hw
+        b, n, c = x.shape
+        dt = self.dtype
+        nh = self.num_heads
+        hd = c // nh
+        q = nn.Dense(c, use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                     name="q")(x)
+        if self.sr_ratio > 1:
+            xm = x.reshape(b, h, w, c)
+            xm = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
+                         strides=(self.sr_ratio, self.sr_ratio),
+                         padding="VALID", dtype=dt, param_dtype=jnp.float32,
+                         name="sr")(xm)
+            kv_in = xm.reshape(b, -1, c)
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=dt,
+                                 param_dtype=jnp.float32, name="norm")(kv_in)
+        else:
+            kv_in = x
+        kv = nn.Dense(2 * c, use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                      name="kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(b, n, nh, hd)
+        k = k.reshape(b, -1, nh, hd)
+        v = v.reshape(b, -1, nh, hd)
+        # jax.nn.dot_product_attention: (B, T, N, H) layout, scale 1/sqrt(hd)
+        o = jax.nn.dot_product_attention(q, k, v)
+        o = o.reshape(b, n, c)
+        return nn.Dense(c, dtype=dt, param_dtype=jnp.float32, name="proj")(o)
+
+
+class _Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: int
+    sr_ratio: int
+    drop_path: float = 0.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, hw, deterministic=True):
+        dt = self.dtype
+        rng = None
+        if not deterministic and self.drop_path > 0:
+            rng = self.make_rng("dropout")
+            rng1, rng2 = jax.random.split(rng)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
+                         name="norm1")(x)
+        y = _SRAttention(self.dim, self.num_heads, self.sr_ratio, dt,
+                         name="attn")(y, hw, deterministic)
+        if rng is not None:
+            y = _drop_path(y, self.drop_path, deterministic, rng1)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
+                         name="norm2")(x)
+        y = _Mlp(self.dim * self.mlp_ratio, self.dim, dt,
+                 name="mlp")(y, hw, deterministic)
+        if rng is not None:
+            y = _drop_path(y, self.drop_path, deterministic, rng2)
+        return x + y
+
+
+class PVTv2(nn.Module):
+    """Returns the 4-stage NHWC feature pyramid (strides 4/8/16/32)."""
+
+    embed_dims: tuple[int, ...] = (64, 128, 320, 512)
+    depths: tuple[int, ...] = (3, 4, 6, 3)
+    num_heads: tuple[int, ...] = (1, 2, 5, 8)
+    mlp_ratios: tuple[int, ...] = (8, 8, 4, 4)
+    drop_path_rate: float = 0.1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        deterministic = not train
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        cur = 0
+        outs = []
+        for si in range(4):
+            dim = self.embed_dims[si]
+            if si == 0:
+                patch, stride, pad = 7, 4, 3
+            else:
+                patch, stride, pad = 3, 2, 1
+            x = nn.Conv(dim, (patch, patch), strides=(stride, stride),
+                        padding=((pad, pad), (pad, pad)), dtype=dt,
+                        param_dtype=jnp.float32,
+                        name=f"patch_embed{si + 1}_proj")(x)
+            b, h, w, _ = x.shape
+            t = x.reshape(b, h * w, dim)
+            t = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
+                             name=f"patch_embed{si + 1}_norm")(t)
+            for bi in range(self.depths[si]):
+                t = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
+                           _SR_RATIOS[si], dpr[cur + bi], dt,
+                           name=f"block{si + 1}_{bi}")(t, (h, w), deterministic)
+            cur += self.depths[si]
+            t = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
+                             name=f"norm{si + 1}")(t)
+            x = t.reshape(b, h, w, dim)
+            outs.append(x)
+        return tuple(outs)
+
+
+def pvt_v2(variant: str = "b2", dtype=None) -> PVTv2:
+    return PVTv2(**PVT_CONFIGS[variant], dtype=dtype)

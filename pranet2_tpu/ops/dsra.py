@@ -88,6 +88,8 @@ def dsra_gate_pallas(fg, crop_fg, crop_bg, use_softmax=True):
 def _dsra_fwd_impl(fg, crop_fg, crop_bg, use_softmax):
     if not _HAS_PLTPU:
         return _gate_math(fg, crop_fg, crop_bg, use_softmax)
+    # off-TPU (tests, virtual CPU mesh) the kernel runs in interpreter mode
+    interpret = jax.default_backend() != "tpu"
     n, h, w, c = fg.shape
     m = n * h * w
     fg2 = fg.reshape(m, c)
@@ -102,6 +104,7 @@ def _dsra_fwd_impl(fg, crop_fg, crop_bg, use_softmax):
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
+        interpret=interpret,
     )(fg2, cf2, cb2)
     return out.reshape(n, h, w, c)
 

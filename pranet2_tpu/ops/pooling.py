@@ -102,7 +102,9 @@ def max_pool(
     else:
         sh, sw = (stride, stride) if isinstance(stride, int) else stride
     ph, pw = (padding, padding) if isinstance(padding, int) else padding
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (the true max identity) is required for JAX to recognise the
+    # monoid and attach the select-and-scatter differentiation rule.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x, neg, lax.max, (1, kh, kw, 1), (1, sh, sw, 1),
         ((0, 0), (ph, ph), (pw, pw), (0, 0)),

@@ -1,18 +1,34 @@
-"""Test config: force a virtual 8-device CPU mesh before JAX initializes.
+"""Test config: force a virtual 8-device CPU mesh before the backend initializes.
 
 Multi-chip sharding is validated on 8 virtual CPU devices (the analogue of the
 reference's 2-GPU-in-one-process SyncBN tests — SURVEY.md §4); TPU perf is
 measured separately by bench.py.
+
+NOTE: in this environment the interpreter preloads ``jax`` with
+``JAX_PLATFORMS=axon`` (remote TPU) already captured from the shell env, so
+setting ``os.environ`` here is too late for the config holder — we must go
+through ``jax.config.update`` before the first backend use.  XLA_FLAGS is
+read by the C++ client at creation time, so the environ update works for it.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}"
+)
+assert jax.device_count() == 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()}"
+)
 
 import numpy as np
 import pytest
