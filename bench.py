@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: PraNet-V2 inference throughput at 352x352, bs=16 — the
+reference's own benchmark protocol (``binary_seg/jittor/MyTest.py:63-123``;
+timing brackets only the forward).  Baseline: PyTorch 556 img/s at bs=16
+(``binary_seg/jittor/README.md:109-117``; BASELINE.md).
+
+Run on the default backend (the real TPU chip under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 556.0  # PyTorch PraNet-V2 bs=16 (BASELINE.md)
+
+
+def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50):
+    from pranet2_tpu.models import get_model
+
+    model = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch_size, size, size, 3), dtype=np.float32
+        )
+    )
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def fwd(v, x):
+        outs = model.apply(v, x)
+        return outs[0] + outs[1] + outs[2] + outs[3]
+
+    jax.block_until_ready(fwd(variables, x))  # compile
+    # timed loop: sequential dispatch, block at end (reference brackets
+    # model(image) only)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    fps = bench_infer()
+    print(json.dumps({
+        "metric": "pranet_v2_infer_img_per_sec_352_bs16",
+        "value": round(fps, 1),
+        "unit": "img/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Host-side batch loading with threaded workers and device prefetch.
+
+Replaces the reference's torch ``DataLoader(num_workers=4, pin_memory=True)``
+(``binary_seg/utils/dataloader.py:161-168``) with a TPU-appropriate design:
+a thread pool decodes/augments on host, batches are stacked into pinned numpy,
+and a ``DevicePrefetcher`` keeps ``depth`` batches in flight with
+``jax.device_put`` (sharded over the mesh when given) so the TPU never waits
+on input (double-buffered H2D, SURVEY.md §7 step 9).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections.abc import Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+class BatchLoader:
+    """Shuffling, batching loader over an indexable dataset of tuples."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_threads: int = 8,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, ...]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        n = len(self)
+
+        def fetch(i):
+            return self.dataset[int(i)]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            for b in range(n):
+                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                items = list(pool.map(fetch, idx))
+                yield tuple(
+                    np.stack([it[k] for it in items])
+                    for k in range(len(items[0]))
+                )
+
+
+class DevicePrefetcher:
+    """Wraps a host batch iterator; keeps ``depth`` batches on device."""
+
+    def __init__(self, it: Iterable, sharding=None, depth: int = 2):
+        self.it = iter(it)
+        self.sharding = sharding
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def producer():
+            try:
+                for batch in self.it:
+                    if self.sharding is not None:
+                        batch = jax.device_put(batch, self.sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is stop:
+                break
+            yield batch

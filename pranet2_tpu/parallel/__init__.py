@@ -1,0 +1,8 @@
+from pranet2_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_params,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_params"]
