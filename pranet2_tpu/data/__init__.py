@@ -1,4 +1,21 @@
 from pranet2_tpu.data.polyp import PolypDataset, PolypTestDataset
 from pranet2_tpu.data.loader import BatchLoader, DevicePrefetcher
+from pranet2_tpu.data.volumes import (
+    ACDCDataset,
+    RandomGenerator,
+    RandomGeneratorACDC,
+    SynapseDataset,
+    remap_synapse_labels,
+)
 
-__all__ = ["PolypDataset", "PolypTestDataset", "BatchLoader", "DevicePrefetcher"]
+__all__ = [
+    "PolypDataset",
+    "PolypTestDataset",
+    "BatchLoader",
+    "DevicePrefetcher",
+    "ACDCDataset",
+    "RandomGenerator",
+    "RandomGeneratorACDC",
+    "SynapseDataset",
+    "remap_synapse_labels",
+]

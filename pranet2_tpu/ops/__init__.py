@@ -1,10 +1,11 @@
-from pranet2_tpu.ops.resize import resize_bilinear, upsample
+from pranet2_tpu.ops.resize import resize_bilinear, upsample, upsample_nearest
 from pranet2_tpu.ops.dsra import dsra_gate, reverse_attention
 from pranet2_tpu.ops.pooling import avg_pool_same, max_pool, avg_pool
 
 __all__ = [
     "resize_bilinear",
     "upsample",
+    "upsample_nearest",
     "dsra_gate",
     "reverse_attention",
     "avg_pool_same",

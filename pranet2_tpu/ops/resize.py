@@ -83,3 +83,12 @@ def upsample(x: jnp.ndarray, scale: float, align_corners: bool = False) -> jnp.n
     return resize_bilinear(
         x, (int(h * scale), int(w * scale)), align_corners=align_corners
     )
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """torch ``nn.Upsample(scale_factor=k)`` (nearest, integer scale).
+
+    out[i] = in[i // k] — an exact repeat along H and W.
+    """
+    x = jnp.repeat(x, scale, axis=1)
+    return jnp.repeat(x, scale, axis=2)

@@ -80,6 +80,8 @@ def make_train_step(model, *, target_size: int, rescale: bool):
             outs, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(
+                    jax.random.key(0), state.step)},
             )
             fg, bg = outs[:4], outs[4:]
             losses = [
@@ -151,6 +153,13 @@ def train(cfg: BinaryTrainConfig, mesh=None, dataset=None, eval_fn=None,
                             img_per_sec=n_img * len(cfg.size_rates) / dt))
         log(f"epoch {epoch}: {dt:.1f}s "
             f"({history[-1]['img_per_sec']:.1f} train img/s incl. 3 scales)")
+
+        if cfg.snapshot_every and epoch % cfg.snapshot_every == 0:
+            from pranet2_tpu.utils.checkpoint import save_state
+
+            os.makedirs(cfg.save_dir, exist_ok=True)
+            save_state(os.path.join(cfg.save_dir, f"epoch_{epoch}"), state)
+            log(f"epoch {epoch}: snapshot saved")
 
         if eval_fn is not None:
             score = eval_fn(model, state)

@@ -1,0 +1,80 @@
+"""Profiling & cost analysis (replaces thop FLOPs counting + adds tracing).
+
+Reference equivalents: ``CalParams`` thop counter
+(``binary_seg/utils/utils.py:49-62``), ptflops in MIST's __main__, wall-clock
+FPS loop (``binary_seg/jittor/MyTest.py:63-123``).  TPU-native versions:
+
+* ``cost_analysis``: FLOPs/bytes from the *compiled* XLA executable — exact
+  for the program that actually runs, unlike operator-table counters.
+* ``Timer`` / ``throughput``: step-time and images/sec meters that block on
+  device results (async dispatch otherwise lies).
+* ``trace``: context manager around ``jax.profiler`` for TensorBoard traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+def cost_analysis(fn, *args) -> dict:
+    """FLOPs / bytes accessed of the jitted ``fn(*args)`` from compiled HLO."""
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    stats = compiled.cost_analysis()
+    if isinstance(stats, list):  # some backends return a list per-computation
+        stats = stats[0]
+    return {
+        "flops": stats.get("flops", -1.0),
+        "bytes_accessed": stats.get("bytes accessed", -1.0),
+    }
+
+
+def count_params(variables) -> int:
+    tree = variables.get("params", variables)
+    return sum(p.size for p in jax.tree.leaves(tree))
+
+
+class Timer:
+    """Wall-clock timer that blocks on device output."""
+
+    def __init__(self):
+        self.times: list[float] = []
+
+    @contextlib.contextmanager
+    def measure(self):
+        t0 = time.perf_counter()
+        out = {}
+        yield out
+        if "result" in out:
+            jax.block_until_ready(out["result"])
+        self.times.append(time.perf_counter() - t0)
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / max(len(self.times), 1)
+
+
+def throughput(fn, args, batch_size: int, iters: int = 50, warmup: int = 2):
+    """images/sec of ``fn(*args)``; compiles first, blocks at the end."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a ``jax.profiler`` trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

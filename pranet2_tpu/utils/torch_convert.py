@@ -160,6 +160,107 @@ def pvtv2_key_map(prefix: str) -> tuple[str, ...] | None:
     return None
 
 
+def resnet_key_map(prefix: str) -> tuple[str, ...] | None:
+    """torchvision-style ResNet names -> flax ``ResNet`` paths."""
+    if prefix in ("fc", "avgpool"):
+        return None
+    if prefix in ("conv1", "bn1"):
+        return (prefix,)
+    m = re.fullmatch(r"layer(\d)\.(\d+)\.(.+)", prefix)
+    if m:
+        l, b, rest = m.groups()
+        block = f"layer{l}_{b}"
+        mm = re.fullmatch(r"downsample\.(\d)", rest)
+        if mm:
+            return (block, f"downsample_{mm.group(1)}")
+        if re.fullmatch(r"(conv|bn)[123]", rest):
+            return (block, rest)
+    return None
+
+
+def emcad_key_map(encoder: str = "pvt_v2_b2") -> KeyMap:
+    """Key map for full EMCADNet checkpoints (e.g. EMCAD_Synapse.pth).
+
+    Torch layout: 'backbone.*' encoder, 'decoder.*' EMCAD(_dual) decoder,
+    'out_head{1..4}' single-supervision heads, 'conv.{0,1}' grayscale stem.
+    """
+    bb_inner = pvtv2_key_map if encoder.startswith("pvt_v2") else resnet_key_map
+    bb = _with_prefix(bb_inner, "backbone", "backbone")
+
+    def decoder(rest: str) -> tuple[str, ...] | None:
+        # mscb{i} is an nn.Sequential of MSCB blocks: 'mscbN.0.<...>'
+        m = re.fullmatch(r"mscb(\d)\.0\.(.+)", rest)
+        if m:
+            i, sub = m.groups()
+            name = f"mscb{i}"
+            mm = re.fullmatch(r"pconv([12])\.0", sub)
+            if mm:
+                return (name, f"pconv{mm.group(1)}")
+            mm = re.fullmatch(r"pconv([12])\.1", sub)
+            if mm:
+                return (name, f"pconv{mm.group(1)}_bn")
+            mm = re.fullmatch(r"msdc\.dwconvs\.(\d)\.0", sub)
+            if mm:
+                return (name, f"dwconv{mm.group(1)}")
+            mm = re.fullmatch(r"msdc\.dwconvs\.(\d)\.1", sub)
+            if mm:
+                return (name, f"dwconv{mm.group(1)}_bn")
+            if sub == "conv1x1":
+                return (name, "conv1x1")
+            return None
+        m = re.fullmatch(r"eucb(\d)\.up_dwc\.1", rest)
+        if m:
+            return (f"eucb{m.group(1)}", "up_dwc")
+        m = re.fullmatch(r"eucb(\d)\.up_dwc\.2", rest)
+        if m:
+            return (f"eucb{m.group(1)}", "up_dwc_bn")
+        m = re.fullmatch(r"eucb(\d)\.pwc\.0", rest)
+        if m:
+            return (f"eucb{m.group(1)}", "pwc")
+        m = re.fullmatch(r"lgag(\d)\.(W_g|W_x)\.0", rest)
+        if m:
+            return (f"lgag{m.group(1)}", m.group(2))
+        m = re.fullmatch(r"lgag(\d)\.(W_g|W_x)\.1", rest)
+        if m:
+            return (f"lgag{m.group(1)}", f"{m.group(2)}_bn")
+        m = re.fullmatch(r"lgag(\d)\.psi\.0", rest)
+        if m:
+            return (f"lgag{m.group(1)}", "psi")
+        m = re.fullmatch(r"lgag(\d)\.psi\.1", rest)
+        if m:
+            return (f"lgag{m.group(1)}", "psi_bn")
+        m = re.fullmatch(r"cab(\d)\.(fc[12])", rest)
+        if m:
+            return (f"cab{m.group(1)}", m.group(2))
+        if rest == "sab.conv":
+            return ("sab", "conv")
+        m = re.fullmatch(r"(ConvBlock\d_(?:fg|bg))\.(conv|bn)", rest)
+        if m:
+            return (m.group(1), m.group(2))
+        return None
+
+    def f(prefix: str):
+        r = bb(prefix)
+        if r is not None:
+            return r
+        if prefix == "conv.0":
+            return ("stem_conv",)
+        if prefix == "conv.1":
+            return ("stem_bn",)
+        m = re.fullmatch(r"out_head(\d)", prefix)
+        if m:
+            return (f"out_head{m.group(1)}",)
+        if prefix.startswith("decoder."):
+            return _prepend(decoder(prefix[len("decoder."):]), "decoder")
+        return None
+
+    return f
+
+
+def _prepend(path, name):
+    return None if path is None else (name,) + path
+
+
 def _with_prefix(inner: KeyMap, torch_prefix: str, flax_prefix: str) -> KeyMap:
     def f(prefix: str):
         if not prefix.startswith(torch_prefix + "."):
