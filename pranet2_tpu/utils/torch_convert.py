@@ -64,6 +64,10 @@ def convert_state_dict(
         is_bn = f"{prefix}.running_mean" in sd
         w = sd.get(f"{prefix}.weight")
         b = sd.get(f"{prefix}.bias")
+        gamma = sd.get(f"{prefix}.gamma")
+        if gamma is not None:  # LayerScale: flax stores the param directly
+            put(params, flax_path, gamma)
+            continue
         if is_bn:
             put(params, flax_path + ("scale",), w)
             if b is not None:
@@ -259,6 +263,205 @@ def emcad_key_map(encoder: str = "pvt_v2_b2") -> KeyMap:
 
 def _prepend(path, name):
     return None if path is None else (name,) + path
+
+
+def maxvit_key_map(prefix: str) -> tuple[str, ...] | None:
+    """timm MaxxVit checkpoint names -> flax ``MaxxVit`` paths.
+
+    Torch layout: stem.{conv1,norm1,conv2}, stages.{s}.blocks.{b}.{conv,
+    attn_block,attn_grid}.*, final ``norm``; classifier ``head.*`` ignored.
+    """
+    if prefix.startswith("head"):
+        return None
+    m = re.fullmatch(r"stem\.(conv1|norm1|conv2)", prefix)
+    if m:
+        return (f"stem_{m.group(1)}",)
+    if prefix == "norm":
+        return ("norm",)
+    m = re.fullmatch(r"stages\.(\d)\.blocks\.(\d)\.(.+)", prefix)
+    if not m:
+        return None
+    s, b, rest = m.groups()
+    base = (f"stages_{s}_blocks_{b}",)
+
+    # conv sub-block (MbConv or ConvNeXt)
+    mm = re.fullmatch(r"conv\.(.+)", rest)
+    if mm:
+        sub = mm.group(1)
+        table = {
+            "pre_norm": ("pre_norm",),
+            "conv1_1x1": ("conv1_1x1",),
+            "norm1": ("norm1",),
+            "conv2_kxk": ("conv2_kxk",),
+            "norm2": ("norm2",),
+            "se.fc1": ("se", "fc1"),
+            "se.fc2": ("se", "fc2"),
+            "conv3_1x1": ("conv3_1x1",),
+            "shortcut.expand": ("shortcut", "expand"),
+            "shortcut": ("shortcut",),  # ConvNeXt 1x1 shortcut (stride 1)
+            "conv_dw": ("conv_dw",),
+            "norm": ("norm",),
+            "mlp.fc1": ("mlp_fc1",),
+            "mlp.fc2": ("mlp_fc2",),
+            "ls": ("ls_gamma",),
+        }
+        if sub in table:
+            return base + ("conv",) + table[sub]
+        return None
+
+    # attention sub-blocks
+    mm = re.fullmatch(r"(attn_block|attn_grid)\.(.+)", rest)
+    if mm:
+        blk, sub = mm.groups()
+        table = {
+            "norm1": ("norm1",),
+            "norm2": ("norm2",),
+            "attn.qkv": ("attn", "qkv"),
+            "attn.proj": ("attn", "proj"),
+            "attn.rel_pos.mlp.fc1": ("attn", "rel_pos", "fc1"),
+            "attn.rel_pos.mlp.fc2": ("attn", "rel_pos", "fc2"),
+            "mlp.fc1": ("mlp_fc1",),
+            "mlp.fc2": ("mlp_fc2",),
+            "ls1": ("ls1_gamma",),
+            "ls2": ("ls2_gamma",),
+        }
+        if sub in table:
+            return base + (blk,) + table[sub]
+    return None
+
+
+def merit_key_map() -> KeyMap:
+    """Key map for full MERIT checkpoints (Cascaded/Parallel, dual or not)."""
+    bb1 = _with_prefix(maxvit_key_map, "backbone1", "backbone1")
+    bb2 = _with_prefix(maxvit_key_map, "backbone2", "backbone2")
+
+    def cascade(rest: str) -> tuple[str, ...] | None:
+        if rest == "Conv_1x1":
+            return ("Conv_1x1",)
+        m = re.fullmatch(r"ConvBlock(\d)\.conv\.(\d)", rest)
+        if m:  # conv_block Sequential: conv indices 0/3, bn indices 1/4
+            lvl, idx = m.groups()
+            name = f"conv{idx}" if idx in ("0", "3") else f"bn{idx}"
+            return (f"ConvBlock{lvl}", name)
+        m = re.fullmatch(r"ConvBlock(\d)_(fg|bg)\.(conv|bn)", rest)
+        if m:
+            return (f"ConvBlock{m.group(1)}_{m.group(2)}", m.group(3))
+        m = re.fullmatch(r"Up(\d)\.up\.(\d)", rest)
+        if m:  # up_conv Sequential: 0 upsample, 1 conv, 2 bn
+            lvl, idx = m.groups()
+            return (f"Up{lvl}", "conv" if idx == "1" else "bn")
+        m = re.fullmatch(r"AG(\d)\.(W_g|W_x|psi)\.(\d)", rest)
+        if m:
+            lvl, part, idx = m.groups()
+            return (f"AG{lvl}", part if idx == "0" else f"{part}_bn")
+        m = re.fullmatch(r"CA(\d)\.(fc[12])", rest)
+        if m:
+            return (f"CA{m.group(1)}", m.group(2))
+        if rest == "SA.conv1":
+            return ("SA", "conv1")
+        return None
+
+    def f(prefix: str):
+        r = bb1(prefix) or bb2(prefix)
+        if r is not None:
+            return r
+        if prefix == "conv.0":
+            return ("gray", "stem_conv")
+        if prefix == "conv.1":
+            return ("gray", "stem_bn")
+        m = re.fullmatch(r"out_head(\d)(_in)?", prefix)
+        if m:
+            return (f"out_head{m.group(1)}{m.group(2) or ''}",)
+        if prefix.startswith("decoder."):
+            return _prepend(cascade(prefix[len("decoder."):]), "decoder")
+        return None
+
+    return f
+
+
+def split_packed_mha(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Split torch ``nn.MultiheadAttention`` packed in-proj into q/k/v entries.
+
+    ``<p>.in_proj_weight`` (3C, C) -> ``<p>.in_proj_{q,k,v}.weight`` (C, C);
+    same for biases.  Needed for MIST's conv-transformer attention.
+    """
+    out = dict(sd)
+    for k in list(sd):
+        m = re.fullmatch(r"(.+)\.in_proj_weight", k)
+        if m:
+            p = m.group(1)
+            w = out.pop(k)
+            c = w.shape[0] // 3
+            for i, name in enumerate("qkv"):
+                out[f"{p}.in_proj_{name}.weight"] = w[i * c:(i + 1) * c]
+            b = out.pop(f"{p}.in_proj_bias", None)
+            if b is not None:
+                for i, name in enumerate("qkv"):
+                    out[f"{p}.in_proj_{name}.bias"] = b[i * c:(i + 1) * c]
+    return out
+
+
+def mist_key_map() -> KeyMap:
+    """Key map for full MIST_CAM checkpoints.
+
+    Run the state dict through :func:`split_packed_mha` first.  Torch layout:
+    'backbone1.*' MaxxViT, 'decoder.block_{5..9}.*' CAM blocks,
+    'out_head{1..4}[_fg|_bg]', 'conv.{0,1}' grayscale stem.
+    """
+    bb = _with_prefix(maxvit_key_map, "backbone1", "backbone1")
+
+    def transformer(rest: str) -> tuple[str, ...] | None:
+        table = {
+            "conv1": ("conv1",),
+            "layernorm": ("layernorm",),
+        }
+        if rest in table:
+            return table[rest]
+        m = re.fullmatch(r"attention_output\.(conv_[qkv]|layernorm_[qkv])", rest)
+        if m:
+            return ("attention_output", m.group(1))
+        m = re.fullmatch(r"attention_output\.attention\.(in_proj_[qkv]|out_proj)", rest)
+        if m:
+            return ("attention_output", m.group(1))
+        m = re.fullmatch(r"wide_focus\.(conv[1-4])", rest)
+        if m:
+            return ("wide_focus", m.group(1))
+        return None
+
+    def block(rest: str) -> tuple[str, ...] | None:
+        m = re.fullmatch(r"out_head(\d)_(fg|bg)", rest)
+        if m:  # dual heads are CAM attributes -> flax decoder submodules
+            return (f"out_head{m.group(1)}_{m.group(2)}",)
+        m = re.fullmatch(r"(block_[5-9])\.(.+)", rest)
+        if not m:
+            return None
+        blk, sub = m.groups()
+        if sub in ("layernorm", "conv1", "conv2"):
+            return (blk, sub)
+        if sub == "conv3":  # defined but unused in the reference forward
+            return None
+        m2 = re.fullmatch(r"trans\.(.+)", sub)
+        if m2:
+            t = transformer(m2.group(1))
+            return None if t is None else (blk, "trans") + t
+        return None
+
+    def f(prefix: str):
+        r = bb(prefix)
+        if r is not None:
+            return r
+        if prefix == "conv.0":
+            return ("stem_conv",)
+        if prefix == "conv.1":
+            return ("stem_bn",)
+        m = re.fullmatch(r"out_head(\d)", prefix)
+        if m:  # single-supervision heads on the network itself
+            return (f"out_head{m.group(1)}",)
+        if prefix.startswith("decoder."):
+            return _prepend(block(prefix[len("decoder."):]), "decoder")
+        return None
+
+    return f
 
 
 def _with_prefix(inner: KeyMap, torch_prefix: str, flax_prefix: str) -> KeyMap:
