@@ -21,7 +21,8 @@ import numpy as np
 BASELINE_FPS = 556.0  # PyTorch PraNet-V2 bs=16 (BASELINE.md)
 
 
-def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50):
+def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 100,
+                warmup: int = 5):
     from pranet2_tpu.models import get_model
 
     model = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
@@ -37,7 +38,9 @@ def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50):
         outs = model.apply(v, x)
         return outs[0] + outs[1] + outs[2] + outs[3]
 
-    jax.block_until_ready(fwd(variables, x))  # compile
+    for _ in range(warmup):  # compile + settle the device/tunnel
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
     # timed loop: sequential dispatch, block at end (reference brackets
     # model(image) only)
     t0 = time.perf_counter()

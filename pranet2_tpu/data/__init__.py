@@ -1,4 +1,4 @@
-from pranet2_tpu.data.polyp import PolypDataset, PolypTestDataset
+from pranet2_tpu.data.polyp import OdgtDataset, PolypDataset, PolypTestDataset
 from pranet2_tpu.data.loader import BatchLoader, DevicePrefetcher
 from pranet2_tpu.data.volumes import (
     ACDCDataset,
@@ -9,6 +9,7 @@ from pranet2_tpu.data.volumes import (
 )
 
 __all__ = [
+    "OdgtDataset",
     "PolypDataset",
     "PolypTestDataset",
     "BatchLoader",

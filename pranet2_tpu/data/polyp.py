@@ -89,6 +89,28 @@ class PolypDataset:
         return img, gt
 
 
+class OdgtDataset:
+    """odgt-manifest dataset (the reference's legacy ``Kits9`` loader,
+    ``binary_seg/utils/dataloader.py:23-89``): one JSON object per line with
+    ``fpath_img`` / ``fpath_segm`` keys; same preprocessing as PolypDataset."""
+
+    def __init__(self, describe_path: str, trainsize: int):
+        import json
+
+        self.trainsize = trainsize
+        with open(describe_path) as f:
+            self.samples = [json.loads(line) for line in f if line.strip()]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int):
+        s = self.samples[i]
+        img = preprocess_image(load_rgb(s["fpath_img"]), self.trainsize)
+        gt = preprocess_mask(load_gray(s["fpath_segm"]), self.trainsize)
+        return img, gt
+
+
 class PolypTestDataset:
     """Test dataset: yields (image (1,S,S,3), gt uint8 (H,W) native, name)."""
 
