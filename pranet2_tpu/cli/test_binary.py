@@ -31,9 +31,17 @@ def main():
     p.add_argument("--data_root", default="./data/TestDataset")
     p.add_argument("--save_root", default="./results")
     p.add_argument("--datasets", nargs="+", default=DEFAULT_DATASETS)
+    p.add_argument("--precision", default="highest",
+                   choices=["default", "high", "highest"],
+                   help="matmul/conv precision; 'highest' (f32 on MXU) for "
+                        "checkpoint-parity evaluation, 'default' (bf16 "
+                        "passes) for speed")
     args = p.parse_args()
 
     import jax
+
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
     import jax.numpy as jnp
     from PIL import Image
 

@@ -32,9 +32,14 @@ def main():
     p.add_argument("--expansion_factor", type=int, default=2)
     p.add_argument("--lgag_ks", type=int, default=3)
     p.add_argument("--activation_mscb", default="relu6")
+    p.add_argument("--precision", default="highest",
+                   choices=["default", "high", "highest"])
     args = p.parse_args()
 
     import jax
+
+    if args.precision != "default":
+        jax.config.update("jax_default_matmul_precision", args.precision)
     import jax.numpy as jnp
 
     from pranet2_tpu.cli.train_multiclass import build_model

@@ -31,14 +31,20 @@ def structure_loss(
     pred_bg: jnp.ndarray,
     mask_fg: jnp.ndarray,
     mask_bg: jnp.ndarray,
+    weit: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """PraNet-V2 dual-supervised structure loss. All inputs (N,H,W,C) f32."""
+    """PraNet-V2 dual-supervised structure loss. All inputs (N,H,W,C) f32.
+
+    ``weit`` may be precomputed (``_boundary_weight(mask_fg)``) and shared
+    across the 4 lateral-map losses — see :func:`structure_loss_multi`.
+    """
     pred = pred.astype(jnp.float32)
     pred_bg = pred_bg.astype(jnp.float32)
     mask_fg = mask_fg.astype(jnp.float32)
     mask_bg = mask_bg.astype(jnp.float32)
 
-    weit = _boundary_weight(mask_fg)
+    if weit is None:
+        weit = _boundary_weight(mask_fg)
     wsum = jnp.sum(weit, axis=(1, 2))
 
     wbce = jnp.sum(weit * bce_logits(pred, mask_fg), axis=(1, 2)) / wsum
@@ -50,6 +56,18 @@ def structure_loss(
     wiou = 1.0 - (inter + 1.0) / (union - inter + 1.0)
 
     return jnp.mean(wbce + wiou + 0.8 * wbce2)
+
+
+def structure_loss_multi(fg_maps, bg_maps, mask_fg, mask_bg):
+    """Sum of structure losses over the 4 lateral-map pairs with the
+    boundary weight computed once (identical math to 4 separate calls —
+    the reference recomputes the 31x31 pool per loss, ``MyTrain_med.py:78-82``)."""
+    mask_fg = mask_fg.astype(jnp.float32)
+    weit = _boundary_weight(mask_fg)
+    return sum(
+        structure_loss(f, b, mask_fg, mask_bg, weit=weit)
+        for f, b in zip(fg_maps, bg_maps)
+    )
 
 
 def structure_loss_v1(pred: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -29,7 +29,7 @@ import numpy as np
 
 from pranet2_tpu.data import BatchLoader, DevicePrefetcher, PolypDataset, PolypTestDataset
 from pranet2_tpu.evalx import aggregate_dataset_metrics, binary_image_metrics
-from pranet2_tpu.losses import structure_loss
+from pranet2_tpu.losses import structure_loss, structure_loss_multi
 from pranet2_tpu.models import get_model
 from pranet2_tpu.ops import resize_bilinear
 from pranet2_tpu.parallel import batch_sharding, make_mesh, shard_params
@@ -56,14 +56,26 @@ class BinaryTrainConfig:
     snapshot_every: int = 10
     log_every: int = 20
     dtype: str = "float32"             # 'bfloat16' for bf16 compute
+    remat: bool = False                # rematerialize the forward (memory<->FLOPs)
 
 
 def _rate_size(trainsize: int, rate: float) -> int:
     return int(round(trainsize * rate / 32) * 32)
 
 
-def make_train_step(model, *, target_size: int, rescale: bool):
+def make_train_step(model, *, target_size: int, rescale: bool,
+                    remat: bool = False):
     """Build the jitted multi-loss train step for one static scale."""
+
+    def forward(params, batch_stats, images, step):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(jax.random.key(0), step)},
+        )
+
+    if remat:
+        forward = jax.checkpoint(forward)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images, gts):
@@ -77,15 +89,16 @@ def make_train_step(model, *, target_size: int, rescale: bool):
         bg_mask = 1.0 - gts
 
         def loss_fn(params):
-            outs, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(
-                    jax.random.key(0), state.step)},
+            outs, updates = forward(
+                params, state.batch_stats, images, state.step
             )
             fg, bg = outs[:4], outs[4:]
+            from pranet2_tpu.losses.binary import _boundary_weight
+
+            weit = _boundary_weight(gts.astype(jnp.float32))
             losses = [
-                structure_loss(f, b, gts, bg_mask) for f, b in zip(fg, bg)
+                structure_loss(f, b, gts, bg_mask, weit=weit)
+                for f, b in zip(fg, bg)
             ]
             return sum(losses), (updates["batch_stats"], losses)
 
@@ -129,6 +142,7 @@ def train(cfg: BinaryTrainConfig, mesh=None, dataset=None, eval_fn=None,
             model,
             target_size=_rate_size(cfg.trainsize, rate),
             rescale=rate != 1.0,
+            remat=cfg.remat,
         )
         for rate in cfg.size_rates
     }

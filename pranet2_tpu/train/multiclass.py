@@ -144,17 +144,26 @@ class MulticlassTrainConfig:
     seed: int = 2222
     eval_from_frac: float = 0.5     # start validating at this fraction of epochs
     best_threshold: float = 0.80    # min val mean-dice to save best
+    remat: bool = False             # rematerialize the forward
 
 
 def make_multiclass_train_step(model, cfg: MulticlassTrainConfig):
+    def forward(params, batch_stats, images, step):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(
+                jax.random.key(cfg.seed), step)},
+        )
+
+    if cfg.remat:
+        forward = jax.checkpoint(forward)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images, labels):
         def loss_fn(params):
-            outs, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(
-                    jax.random.key(cfg.seed), state.step)},
+            outs, updates = forward(
+                params, state.batch_stats, images, state.step
             )
             if cfg.dual:
                 loss = mutation_loss(
