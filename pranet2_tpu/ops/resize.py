@@ -85,6 +85,28 @@ def upsample(x: jnp.ndarray, scale: float, align_corners: bool = False) -> jnp.n
     )
 
 
+def resize_bilinear_np(x: np.ndarray, size: tuple[int, int],
+                       align_corners: bool = False) -> np.ndarray:
+    """Host-side (numpy) torch-bilinear resize — same matrices as the jit op.
+
+    For per-image native-size post-processing: a jitted resize would compile
+    one executable per unique output shape (expensive over a device tunnel);
+    on host these are two small matmuls.
+    """
+    h_out, w_out = size
+    x = np.asarray(x, np.float32)
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    if (h, w) != (h_out, w_out):
+        wh = _interp_matrix(h, h_out, align_corners)
+        ww = _interp_matrix(w, w_out, align_corners)
+        x = np.einsum("ah,nhwc->nawc", wh, x)
+        x = np.einsum("bw,nawc->nabc", ww, x)
+    return x[0] if squeeze else x
+
+
 def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
     """torch ``nn.Upsample(scale_factor=k)`` (nearest, integer scale).
 

@@ -1,0 +1,90 @@
+"""Serving API: a fixed-shape batched predictor for production inference.
+
+The reference has no serving layer (inference = bs-1 script loops,
+``binary_seg/MyTest_med.py:91-113``); this provides the TPU-appropriate one:
+one compiled executable per (batch, size) bucket, automatic padding of
+partial batches, optional bf16 compute, and post-processing matching the
+reference's export exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pranet2_tpu.data.polyp import preprocess_image
+from pranet2_tpu.models import get_model
+
+
+class BinaryPredictor:
+    """Batched PraNet predictor: PIL/ndarray images in, uint8 masks out."""
+
+    def __init__(self, model_name: str, variables, batch_size: int = 16,
+                 testsize: int = 352, dtype=None, exact_postproc: bool = True):
+        """``exact_postproc=True`` reproduces the reference export exactly
+        (resize logits to native size, then sigmoid + min-max) — requires
+        transferring f32 logits off device.  ``False`` runs sigmoid + min-max
+        + uint8 on the TPU at test size and resizes the uint8 map on host —
+        4x less device->host traffic, visually equivalent masks."""
+        self.v2 = model_name.endswith("_v2")
+        kwargs = {"num_class": 1} if self.v2 else {}
+        self.model = get_model(model_name, dtype=dtype, **kwargs)
+        self.variables = variables
+        self.batch_size = batch_size
+        self.testsize = testsize
+        self.exact_postproc = exact_postproc
+
+        @jax.jit
+        def fwd(v, x):
+            outs = self.model.apply(v, x)
+            logits = (outs[0] + outs[1] + outs[2] + outs[3]) if self.v2 else outs[3]
+            if exact_postproc:
+                return logits.astype(jnp.float32)
+            p = jax.nn.sigmoid(logits.astype(jnp.float32))
+            lo = jnp.min(p, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(p, axis=(1, 2, 3), keepdims=True)
+            p = (p - lo) / (hi - lo + 1e-8)
+            return (p * 255.0).astype(jnp.uint8)
+
+        self._fwd = fwd
+
+    def warmup(self):
+        x = jnp.zeros((self.batch_size, self.testsize, self.testsize, 3))
+        jax.block_until_ready(self._fwd(self.variables, x))
+
+    def __call__(self, images) -> list[np.ndarray]:
+        """images: list of HxWx3 uint8 arrays (native sizes).
+
+        Returns uint8 masks at each image's native size (sigmoid + min-max
+        normalized, the reference's export semantics).
+        """
+        from PIL import Image
+
+        out: list[np.ndarray] = []
+        for start in range(0, len(images), self.batch_size):
+            chunk = images[start:start + self.batch_size]
+            batch = np.zeros(
+                (self.batch_size, self.testsize, self.testsize, 3), np.float32
+            )
+            for i, im in enumerate(chunk):
+                pil = Image.fromarray(np.asarray(im))
+                batch[i] = preprocess_image(pil.convert("RGB"), self.testsize)
+            from scipy.special import expit
+
+            from pranet2_tpu.ops.resize import resize_bilinear_np
+
+            result = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))
+            result = result[: len(chunk)]
+            for r, im in zip(result, chunk):
+                h, w = np.asarray(im).shape[:2]
+                if self.exact_postproc:
+                    x = resize_bilinear_np(r, (h, w))[:, :, 0]
+                    x = expit(x)
+                    x = (x - x.min()) / (x.max() - x.min() + 1e-8)
+                    out.append((x * 255).astype(np.uint8))
+                else:
+                    x = resize_bilinear_np(r.astype(np.float32), (h, w))[:, :, 0]
+                    out.append(np.clip(x, 0, 255).astype(np.uint8))
+        return out

@@ -216,9 +216,13 @@ def predict_to_maps(fwd, test_ds: PolypTestDataset, batch_size: int = 16):
 
 
 def _postprocess(logit_hw1: np.ndarray, gt_shape) -> np.ndarray:
-    x = jnp.asarray(logit_hw1[None])
-    x = resize_bilinear(x, tuple(gt_shape), align_corners=False)
-    x = np.asarray(jax.nn.sigmoid(x))[0, :, :, 0]
+    from pranet2_tpu.ops.resize import resize_bilinear_np
+    from scipy.special import expit
+
+    # host-side: per-image output shapes vary, a jitted resize would compile
+    # one executable per shape
+    x = resize_bilinear_np(np.asarray(logit_hw1), tuple(gt_shape))[:, :, 0]
+    x = expit(x)
     x = (x - x.min()) / (x.max() - x.min() + 1e-8)
     return (x * 255).astype(np.uint8)
 

@@ -1,0 +1,44 @@
+"""Serving API + reproducibility tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_binary_predictor_end_to_end(rng):
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.serve import BinaryPredictor
+
+    model = get_model("pranet_v2", num_class=1)
+    v = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    pred = BinaryPredictor("pranet_v2", v, batch_size=4, testsize=64)
+    pred.warmup()
+    images = [
+        (rng.random((40 + i, 50, 3)) * 255).astype(np.uint8) for i in range(6)
+    ]
+    masks = pred(images)
+    assert len(masks) == 6
+    for im, m in zip(images, masks):
+        assert m.shape == im.shape[:2]
+        assert m.dtype == np.uint8
+
+
+def test_training_reproducible(rng):
+    """Same seed -> bit-identical params after a step (determinism knob)."""
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.train import create_train_state, make_optimizer
+    from pranet2_tpu.train.binary import make_train_step
+
+    model = get_model("pranet_v2", num_class=1)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    gts = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.5).astype(np.float32))
+    step = make_train_step(model, target_size=64, rescale=False)
+
+    results = []
+    for _ in range(2):
+        tx = make_optimizer(1e-4, clip_value=0.5)
+        s = create_train_state(model, jax.random.key(7), imgs, tx)
+        s, loss, _ = step(s, imgs, gts)
+        results.append((float(loss), np.asarray(jax.tree.leaves(s.params)[0])))
+    assert results[0][0] == results[1][0]
+    np.testing.assert_array_equal(results[0][1], results[1][1])
