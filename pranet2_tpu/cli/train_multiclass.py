@@ -57,6 +57,10 @@ def main():
     p.add_argument("--lgag_ks", type=int, default=3)
     p.add_argument("--activation_mscb", default="relu6")
     p.add_argument("--save_dir", default="./model_out")
+    p.add_argument("--cache", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="RAM-cache the decoded train slices; random "
+                        "augmentation still applies per epoch")
     args = p.parse_args()
 
     # dataset-config defaults (EMCAD/train_synapse.py:85-93, MERIT/train_ACDC.py)
@@ -84,21 +88,40 @@ def main():
         batch_size=batch_size, img_size=img_size, lr=args.base_lr,
         dual=args.dual, seed=args.seed,
     )
+    def _with_cache(raw_ds, transform):
+        from pranet2_tpu.data import AugmentedView, CachedDataset
+
+        def adapter(image, label):
+            img, lab = transform(image, label)
+            return img[..., None].astype("float32"), lab
+
+        return AugmentedView(CachedDataset(raw_ds), adapter)
+
     if args.dataset == "synapse":
-        train_ds = SynapseDataset(
-            args.root_path, args.list_dir, "train", nclass=num_classes,
-            transform=RandomGenerator((img_size, img_size), seed=args.seed),
-        )
+        transform = RandomGenerator((img_size, img_size), seed=args.seed)
+        if args.cache:
+            raw = SynapseDataset(args.root_path, args.list_dir, "train",
+                                 nclass=num_classes, raw=True)
+            train_ds = _with_cache(raw, transform)
+        else:
+            train_ds = SynapseDataset(
+                args.root_path, args.list_dir, "train", nclass=num_classes,
+                transform=transform,
+            )
         val_ds = (
             SynapseDataset(args.val_root or args.root_path, args.list_dir,
                            args.val_split, nclass=num_classes)
             if args.val_split else None
         )
     else:
-        train_ds = ACDCDataset(
-            args.root_path, args.list_dir, "train",
-            transform=RandomGeneratorACDC((img_size, img_size), seed=args.seed),
-        )
+        transform = RandomGeneratorACDC((img_size, img_size), seed=args.seed)
+        if args.cache:
+            raw = ACDCDataset(args.root_path, args.list_dir, "train", raw=True)
+            train_ds = _with_cache(raw, transform)
+        else:
+            train_ds = ACDCDataset(
+                args.root_path, args.list_dir, "train", transform=transform,
+            )
         val_ds = (
             ACDCDataset(args.root_path, args.list_dir, args.val_split)
             if args.val_split else None

@@ -1,5 +1,10 @@
 from pranet2_tpu.data.polyp import OdgtDataset, PolypDataset, PolypTestDataset
-from pranet2_tpu.data.loader import BatchLoader, DevicePrefetcher
+from pranet2_tpu.data.loader import (
+    AugmentedView,
+    BatchLoader,
+    CachedDataset,
+    DevicePrefetcher,
+)
 from pranet2_tpu.data.volumes import (
     ACDCDataset,
     RandomGenerator,
@@ -9,6 +14,8 @@ from pranet2_tpu.data.volumes import (
 )
 
 __all__ = [
+    "AugmentedView",
+    "CachedDataset",
     "OdgtDataset",
     "PolypDataset",
     "PolypTestDataset",

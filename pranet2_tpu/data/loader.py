@@ -18,6 +18,59 @@ import jax
 import numpy as np
 
 
+class CachedDataset:
+    """RAM-cached dataset: preload every item once with a process pool.
+
+    The reference re-decodes every image every epoch through torch DataLoader
+    workers; decode+resize is GIL-bound in-process (~75 img/s measured) while
+    the TPU trains at ~1000 img/s.  Medical segmentation train sets are small
+    (polyp: 1450 images ~ 3.6 GB preprocessed f32; Synapse: 2211 slices), so
+    the TPU-appropriate design is to pay decode once (parallel across
+    processes) and stream epochs from memory.
+
+    Only valid for deterministic datasets (no random augmentation inside
+    ``__getitem__``) — the polyp pipeline qualifies; Synapse/ACDC training
+    applies random augmentation, so cache the *raw* dataset and augment on
+    top (see ``AugmentedView``).
+    """
+
+    def __init__(self, dataset, num_procs: int | None = None):
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        n = len(dataset)
+        if num_procs is None:
+            num_procs = min(mp.cpu_count(), 16)
+        if num_procs > 1 and n > 8:
+            ctx = mp.get_context("fork")
+            with ProcessPoolExecutor(num_procs, mp_context=ctx) as pool:
+                self._items = list(pool.map(dataset.__getitem__, range(n),
+                                            chunksize=max(n // (num_procs * 4), 1)))
+        else:
+            self._items = [dataset[i] for i in range(n)]
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i: int):
+        return self._items[i]
+
+
+class AugmentedView:
+    """Apply a (possibly random) transform over a cached raw dataset."""
+
+    def __init__(self, dataset, transform):
+        self.dataset = dataset
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i: int):
+        image, label = self.dataset[i]
+        return self.transform(image, label)
+
+
 class BatchLoader:
     """Shuffling, batching loader over an indexable dataset of tuples."""
 

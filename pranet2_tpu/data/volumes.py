@@ -96,13 +96,19 @@ class RandomGeneratorACDC(RandomGenerator):
 
 
 class SynapseDataset:
-    """Train split -> (image (S,S,1), label (S,S)); test -> volumes."""
+    """Train split -> (image (S,S,1), label (S,S)); test -> volumes.
+
+    ``raw=True`` returns the untransformed 2-D slice pair (for RAM caching +
+    ``AugmentedView`` — augmentation is random, the decode is not).
+    """
 
     def __init__(self, base_dir: str, list_dir: str, split: str,
-                 nclass: int = 9, transform: RandomGenerator | None = None):
+                 nclass: int = 9, transform: RandomGenerator | None = None,
+                 raw: bool = False):
         self.split = split
         self.nclass = nclass
         self.transform = transform
+        self.raw = raw
         with open(os.path.join(list_dir, split + ".txt")) as f:
             self.sample_list = [l.strip() for l in f if l.strip()]
         self.data_dir = base_dir
@@ -126,6 +132,8 @@ class SynapseDataset:
         if self.nclass == 9:
             label = remap_synapse_labels(label)
         if self.split == "train":
+            if self.raw:
+                return image.astype(np.float32), label.astype(np.int32)
             if self.transform is not None:
                 image, label = self.transform(image, label)
             return image[..., None].astype(np.float32), label.astype(np.int32)
@@ -136,9 +144,10 @@ class ACDCDataset:
     """ACDC train/valid slices + test volumes (``dataset_ACDC.py:90-116``)."""
 
     def __init__(self, base_dir: str, list_dir: str, split: str,
-                 transform: RandomGenerator | None = None):
+                 transform: RandomGenerator | None = None, raw: bool = False):
         self.split = split
         self.transform = transform
+        self.raw = raw
         with open(os.path.join(list_dir, split + ".txt")) as f:
             self.sample_list = [l.strip() for l in f if l.strip()]
         self.data_dir = base_dir
@@ -156,6 +165,8 @@ class ACDCDataset:
         else:
             data = np.load(os.path.join(self.data_dir, name))
         image, label = data["img"], data["label"]
+        if self.split == "train" and self.raw:
+            return image.astype(np.float32), label.astype(np.int32)
         if self.split == "train" and self.transform is not None:
             image, label = self.transform(image, label)
             return image[..., None].astype(np.float32), label.astype(np.int32)

@@ -229,12 +229,33 @@ class RelPosMlp(nn.Module):
         return jnp.transpose(bias, (2, 0, 1))  # (heads, N, N)
 
 
+class RelPosBias(nn.Module):
+    """Learned relative-position bias table ('bias' mode, swin-style)."""
+
+    window: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, deterministic: bool = True):
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads), jnp.float32,
+        )
+        idx = jnp.asarray(_rel_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(
+            self.window ** 2, self.window ** 2, self.num_heads
+        )
+        return jnp.transpose(bias, (2, 0, 1))
+
+
 class AttentionCl(nn.Module):
     """Channels-last MHSA with rel-pos bias (head dim 32, qkv bias)."""
 
     dim: int
     window: int
     dtype: jnp.dtype | None = None
+    rel_pos_type: str = "mlp"  # 'mlp' | 'bias'
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -250,9 +271,12 @@ class AttentionCl(nn.Module):
         q, k, v = jnp.split(
             qkv.reshape(-1, n, nh, 3 * dim_head), 3, axis=-1
         )
-        bias = RelPosMlp(self.window, nh, dtype=dt, name="rel_pos")(
-            deterministic
-        )
+        if self.rel_pos_type == "mlp":
+            bias = RelPosMlp(self.window, nh, dtype=dt, name="rel_pos")(
+                deterministic
+            )
+        else:
+            bias = RelPosBias(self.window, nh, name="rel_pos")(deterministic)
         # jax.nn.dot_product_attention bias: broadcastable to (B, heads, N, N)
         o = jax.nn.dot_product_attention(q, k, v, bias=bias[None])
         o = o.reshape(-1, n, self.dim)
@@ -295,6 +319,7 @@ class PartitionAttention(nn.Module):
     partition_type: str = "block"  # 'block' | 'grid'
     init_values: float | None = None
     dtype: jnp.dtype | None = None
+    rel_pos_type: str = "mlp"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -314,7 +339,8 @@ class PartitionAttention(nn.Module):
             p = window_partition(y, self.window)
         else:
             p = grid_partition(y, self.window)
-        p = AttentionCl(self.dim, self.window, dt, name="attn")(p, deterministic)
+        p = AttentionCl(self.dim, self.window, dt, self.rel_pos_type,
+                        name="attn")(p, deterministic)
         if self.partition_type == "block":
             y = window_reverse(p, self.window, hw)
         else:
@@ -343,6 +369,7 @@ class MaxxVitBlock(nn.Module):
     conv_type: str  # 'mbconv' | 'convnext'
     init_values: float | None
     dtype: jnp.dtype | None = None
+    rel_pos_type: str = "mlp"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -354,13 +381,20 @@ class MaxxVitBlock(nn.Module):
                               name="conv")(x, train)
         det = not train
         x = PartitionAttention(self.dim, self.window, "block",
-                               self.init_values, dt, name="attn_block")(x, det)
+                               self.init_values, dt, self.rel_pos_type,
+                               name="attn_block")(x, det)
         x = PartitionAttention(self.dim, self.window, "grid",
-                               self.init_values, dt, name="attn_grid")(x, det)
+                               self.init_values, dt, self.rel_pos_type,
+                               name="attn_grid")(x, det)
         return x
 
 
 MAXVIT_CONFIGS = {
+    "maxvit_tiny_rw_224": dict(
+        embed_dim=(64, 128, 256, 512), depths=(2, 2, 5, 2),
+        stem_width=(32, 64), conv_type="mbconv", init_values=None,
+        stem_norm="bn_silu", rel_pos_type="bias",
+    ),
     "maxvit_rmlp_tiny_rw_256": dict(
         embed_dim=(64, 128, 256, 512), depths=(2, 2, 5, 2),
         stem_width=(32, 64), conv_type="mbconv", init_values=None,
@@ -393,6 +427,7 @@ class MaxxVit(nn.Module):
     conv_type: str = "mbconv"
     init_values: float | None = 1e-6
     stem_norm: str = "bn_silu"
+    rel_pos_type: str = "mlp"
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -422,7 +457,8 @@ class MaxxVit(nn.Module):
             for bi in range(depth):
                 x = MaxxVitBlock(
                     dim, 2 if bi == 0 else 1, window, self.conv_type,
-                    self.init_values, dt, name=f"stages_{si}_blocks_{bi}",
+                    self.init_values, dt, self.rel_pos_type,
+                    name=f"stages_{si}_blocks_{bi}",
                 )(x, train)
             feats.append(x)
         # final norm on last stage only ('layernorm2d' == LN over C in NHWC)

@@ -37,7 +37,9 @@ _SCALE_CHANNELS = {
 }
 _SCALE_BACKBONES = {
     # (for img 256, for img 224) — reference load_pretrained_weights
-    "tiny": ("maxvit_rmlp_tiny_rw_256", "maxvit_rmlp_tiny_rw_256"),
+    # (``MERIT/lib/networks.py:30-60``: tiny-224 uses maxvit_tiny_rw_224
+    #  with a learned rel-pos table, not the MLP variant)
+    "tiny": ("maxvit_rmlp_tiny_rw_256", "maxvit_tiny_rw_224"),
     "small": ("maxxvit_rmlp_small_rw_256", "maxvit_rmlp_small_rw_224"),
 }
 
@@ -187,6 +189,77 @@ class MERITParallel(nn.Module):
         maps1 = [resize_bilinear(m, (h, w)) for m in maps1]
         maps2 = [resize_bilinear(m, (h, w)) for m in maps2]
         return tuple(a + b for a, b in zip(maps1, maps2))
+
+
+class MaxViT4Out(nn.Module):
+    """Single backbone + 4 direct prediction heads, no decoder
+    (``MERIT/lib/networks.py:164-220``)."""
+
+    num_classes: int = 1
+    img_size: int = 224
+    model_scale: str = "small"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        nc = self.num_classes
+        if x.shape[-1] == 1:
+            x = _GrayStem(dt, name="gray")(x, train)
+        n, h, w, _ = x.shape
+        bb256, bb224 = _SCALE_BACKBONES[self.model_scale]
+        name = bb224 if self.img_size == 224 else bb256
+        f = MaxxVit(**MAXVIT_CONFIGS[name], dtype=dt, name="backbone")(x, train)
+        maps = []
+        for i, feat in enumerate((f[3], f[2], f[1], f[0]), start=1):
+            p = nn.Conv(nc, (1, 1), dtype=dt, param_dtype=jnp.float32,
+                        name=f"out_head{i}")(feat)
+            maps.append(resize_bilinear(p, (h, w)))
+        return tuple(maps)  # p1 (coarse) .. p4 (fine)
+
+
+class MaxViTCascade(nn.Module):
+    """Single backbone + CASCADE decoder + heads
+    (``MERIT/lib/networks.py:287-350``)."""
+
+    num_classes: int = 1
+    img_size: int = 224
+    model_scale: str = "small"
+    decoder_aggregation: str = "additive"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        nc = self.num_classes
+        if x.shape[-1] == 1:
+            x = _GrayStem(dt, name="gray")(x, train)
+        n, h, w, _ = x.shape
+        bb256, bb224 = _SCALE_BACKBONES[self.model_scale]
+        name = bb224 if self.img_size == 224 else bb256
+        f = MaxxVit(**MAXVIT_CONFIGS[name], dtype=dt, name="backbone")(x, train)
+        channels = _SCALE_CHANNELS[self.model_scale]
+        if self.decoder_aggregation == "additive":
+            dec = CascadeAdd(channels, dt, name="decoder")
+        else:
+            dec = CascadeCat(channels, dt, name="decoder")
+        feats = dec(f[3], [f[2], f[1], f[0]], train)
+        maps = []
+        for i, feat in enumerate(feats, start=1):
+            p = nn.Conv(nc, (1, 1), dtype=dt, param_dtype=jnp.float32,
+                        name=f"out_head{i}")(feat)
+            maps.append(resize_bilinear(p, (h, w)))
+        return tuple(maps)
+
+
+@register_model("maxvit4out")
+def _maxvit4out(**kw):
+    return MaxViT4Out(**kw)
+
+
+@register_model("maxvit_cascade")
+def _maxvit_cascade(**kw):
+    return MaxViTCascade(**kw)
 
 
 @register_model("merit_cascaded")

@@ -57,6 +57,7 @@ class BinaryTrainConfig:
     log_every: int = 20
     dtype: str = "float32"             # 'bfloat16' for bf16 compute
     remat: bool = False                # rematerialize the forward (memory<->FLOPs)
+    cache_dataset: bool = True         # preload+RAM-cache the (small) train set
 
 
 def _rate_size(trainsize: int, rate: float) -> int:
@@ -125,6 +126,10 @@ def train(cfg: BinaryTrainConfig, mesh=None, dataset=None, eval_fn=None,
         os.path.join(cfg.train_path, "masks"),
         cfg.trainsize,
     )
+    if cfg.cache_dataset:
+        from pranet2_tpu.data import CachedDataset
+
+        dataset = CachedDataset(dataset)
     loader = BatchLoader(dataset, cfg.batch_size, seed=cfg.seed)
     steps_per_epoch = len(loader) * len(cfg.size_rates)
     schedule = step_decay_schedule(
