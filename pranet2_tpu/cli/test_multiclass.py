@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)

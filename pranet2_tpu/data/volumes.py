@@ -20,7 +20,6 @@ Output: image (S,S,1) f32, label (S,S) int32 — NHWC for the TPU.
 from __future__ import annotations
 
 import os
-import random
 
 import numpy as np
 from scipy import ndimage

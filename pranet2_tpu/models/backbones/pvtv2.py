@@ -19,8 +19,6 @@ randomness comes from the flax 'dropout' RNG collection in training.
 
 from __future__ import annotations
 
-from dataclasses import field
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

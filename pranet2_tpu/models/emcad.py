@@ -30,7 +30,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pranet2_tpu.models.backbones.pvtv2 import PVT_CONFIGS, PVTv2
-from pranet2_tpu.models.backbones.resnet import resnet
 from pranet2_tpu.models.registry import register_model
 from pranet2_tpu.nn import ConvBN
 from pranet2_tpu.ops import dsra_gate, resize_bilinear, upsample_nearest

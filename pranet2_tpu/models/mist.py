@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from pranet2_tpu.models.backbones.maxvit import MAXVIT_CONFIGS, MaxxVit
-from pranet2_tpu.models.decoders import CascadeAdd, CascadeCat
 from pranet2_tpu.models.registry import register_model
 from pranet2_tpu.ops import dsra_gate, max_pool, resize_bilinear, upsample_nearest
 

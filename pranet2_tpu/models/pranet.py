@@ -25,13 +25,13 @@ constructing with ``dtype=jnp.bfloat16`` (params/BN stats stay f32).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from pranet2_tpu.models.backbones.res2net import Res2Net
 from pranet2_tpu.models.registry import register_model
 from pranet2_tpu.nn import RFB, ConvBN, PartialDecoder
 from pranet2_tpu.ops import dsra_gate, resize_bilinear, reverse_attention
+from pranet2_tpu.ops.dsra import dsra_gate_pallas
 
 
 def _make_backbone(kind: str, dtype):
@@ -165,12 +165,14 @@ class PraNetV2(nn.Module):
     channel: int = 32
     num_class: int = 1
     use_softmax: bool = True
+    use_pallas_gate: bool = False  # route DSRA gates through the fused kernel
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         nc = self.num_class
+        gate = dsra_gate_pallas if self.use_pallas_gate else dsra_gate
         if x.shape[-1] == 1:
             # grayscale stem: 1x1 conv -> BN -> ReLU to 3 channels
             x = nn.Conv(3, (1, 1), dtype=dt, param_dtype=jnp.float32,
@@ -200,7 +202,7 @@ class PraNetV2(nn.Module):
         ra4_fg, ra4_bg = _DSRABranch(256, 3, 5, 1, nc, 5, dt, name="ra4")(
             x4, train
         )
-        ra4_fg = dsra_gate(ra4_fg, crop4_fg, crop4_bg, self.use_softmax)
+        ra4_fg = gate(ra4_fg, crop4_fg, crop4_bg, self.use_softmax)
         map4_fg = resize_bilinear(ra4_fg, (h, w))
         map4_bg = resize_bilinear(ra4_bg, (h, w))
 
@@ -211,7 +213,7 @@ class PraNetV2(nn.Module):
         ra3_fg, ra3_bg = _DSRABranch(64, 2, 3, 3, nc, 4, dt, name="ra3")(
             x3, train
         )
-        ra3_fg = dsra_gate(ra3_fg, crop3_fg, crop3_bg, self.use_softmax)
+        ra3_fg = gate(ra3_fg, crop3_fg, crop3_bg, self.use_softmax)
         map3_fg = resize_bilinear(ra3_fg, (h, w))
         map3_bg = resize_bilinear(ra3_bg, (h, w))
 
@@ -222,7 +224,7 @@ class PraNetV2(nn.Module):
         ra2_fg, ra2_bg = _DSRABranch(64, 2, 3, 3, nc, 4, dt, name="ra2")(
             x2, train
         )
-        ra2_fg = dsra_gate(ra2_fg, crop2_fg, crop2_bg, self.use_softmax)
+        ra2_fg = gate(ra2_fg, crop2_fg, crop2_bg, self.use_softmax)
         map2_fg = resize_bilinear(ra2_fg, (h, w))
         map2_bg = resize_bilinear(ra2_bg, (h, w))
 

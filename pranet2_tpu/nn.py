@@ -14,8 +14,6 @@ SyncBN/thread-pipe subsystem (``binary_seg/lib/nn/``).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

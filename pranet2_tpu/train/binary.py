@@ -29,10 +29,10 @@ import numpy as np
 
 from pranet2_tpu.data import BatchLoader, DevicePrefetcher, PolypDataset, PolypTestDataset
 from pranet2_tpu.evalx import aggregate_dataset_metrics, binary_image_metrics
-from pranet2_tpu.losses import structure_loss, structure_loss_multi
+from pranet2_tpu.losses import structure_loss
 from pranet2_tpu.models import get_model
 from pranet2_tpu.ops import resize_bilinear
-from pranet2_tpu.parallel import batch_sharding, make_mesh, shard_params
+from pranet2_tpu.parallel import batch_sharding, make_mesh
 from pranet2_tpu.train.optim import make_optimizer, step_decay_schedule
 from pranet2_tpu.train.state import TrainState, create_train_state
 

@@ -99,6 +99,17 @@ def test_pranet_v2_train_step_updates_stats_and_grads(rng):
     assert not np.allclose(np.asarray(old), np.asarray(new))
 
 
+def test_pranet_v2_pallas_gate_equivalent(rng):
+    m1 = get_model("pranet_v2", num_class=1)
+    m2 = get_model("pranet_v2", num_class=1, use_pallas_gate=True)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3), dtype=np.float32))
+    v = jax.jit(m1.init)(jax.random.key(0), x)
+    o1 = jax.jit(m1.apply)(v, x)
+    o2 = jax.jit(m2.apply)(v, x)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_pvt_pranet_v2_constructs():
     m = get_model("pvt_pranet_v2", num_class=1)
     x = jnp.zeros((1, 64, 64, 3))
