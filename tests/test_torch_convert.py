@@ -199,6 +199,74 @@ def test_pvtv2_conversion_structural():
     assert tree_shapes(fvars["params"]) == tree_shapes(want["params"])
 
 
+def test_pranet_v2_full_checkpoint_conversion():
+    """Synthesize the full RES-V2.pth key/shape layout and convert it."""
+    from pranet2_tpu.models import get_model
+
+    sd = synth_res2net_sd()
+    sd = {f"backbone.{k}": v for k, v in sd.items() if not k.startswith("fc.")}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = np.random.rand(c).astype(np.float32)
+        sd[f"{prefix}.bias"] = np.random.rand(c).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = np.random.rand(c).astype(np.float32)
+        sd[f"{prefix}.running_var"] = np.random.rand(c).astype(np.float32) + 0.5
+
+    def conv(prefix, o, i, kh, kw=None, bias=False):
+        kw = kh if kw is None else kw
+        sd[f"{prefix}.weight"] = np.random.rand(o, i, kh, kw).astype(np.float32) * 0.01
+        if bias:
+            sd[f"{prefix}.bias"] = np.zeros((o,), np.float32)
+
+    def cbn(prefix, o, i, kh, kw=None):
+        conv(f"{prefix}.conv", o, i, kh, kw)
+        bn(f"{prefix}.bn", o)
+
+    # grayscale stem
+    conv("conv.0", 3, 1, 1, bias=True)
+    bn("conv.1", 3)
+    # RFBs on 512/1024/2048
+    for rfb, in_c in (("rfb2_1", 512), ("rfb3_1", 1024), ("rfb4_1", 2048)):
+        cbn(f"{rfb}.branch0.0", 32, in_c, 1)
+        for br, k in ((1, 3), (2, 5), (3, 7)):
+            cbn(f"{rfb}.branch{br}.0", 32, in_c, 1)
+            cbn(f"{rfb}.branch{br}.1", 32, 32, 1, k)
+            cbn(f"{rfb}.branch{br}.2", 32, 32, k, 1)
+            cbn(f"{rfb}.branch{br}.3", 32, 32, 3)
+        cbn(f"{rfb}.conv_cat", 32, 128, 3)
+        cbn(f"{rfb}.conv_res", 32, in_c, 1)
+    # aggregation
+    for cu in (1, 2, 3, 4):
+        cbn(f"agg1.conv_upsample{cu}", 32, 32, 3)
+    cbn("agg1.conv_upsample5", 64, 64, 3)
+    cbn("agg1.conv_concat2", 64, 64, 3)
+    cbn("agg1.conv_concat3", 96, 96, 3)
+    cbn("agg1.conv4", 96, 96, 3)
+    conv("agg1.conv5_fg", 1, 96, 1, bias=True)
+    conv("agg1.conv5_bg", 1, 96, 1, bias=True)
+    # DSRA branches
+    cbn("ra4_conv1", 256, 2048, 1)
+    for n in (2, 3, 4):
+        cbn(f"ra4_conv{n}", 256, 256, 5)
+    cbn("ra4_conv5_fg", 1, 256, 1)
+    cbn("ra4_conv5_bg", 1, 256, 1)
+    for ra, in_c in ((3, 1024), (2, 512)):
+        cbn(f"ra{ra}_conv1", 64, in_c, 1)
+        for n in (2, 3):
+            cbn(f"ra{ra}_conv{n}", 64, 64, 3)
+        cbn(f"ra{ra}_conv4_fg", 1, 64, 3)
+        cbn(f"ra{ra}_conv4_bg", 1, 64, 3)
+
+    fvars = convert_state_dict(sd, pranet_key_map("v2", "res2net50"))
+    m = get_model("pranet_v2", num_class=1)
+    # grayscale init so the stem params exist
+    want = jax.eval_shape(m.init, jax.random.key(0), jnp.zeros((1, 64, 64, 1)))
+    assert tree_shapes(fvars["params"]) == tree_shapes(want["params"])
+    assert tree_shapes(fvars["batch_stats"]) == tree_shapes(want["batch_stats"])
+    outs = m.apply(fvars, jnp.zeros((1, 64, 64, 1)))
+    assert len(outs) == 8
+
+
 def test_pranet_v2_head_keymap_covers_model():
     """Every flax param of PraNet-V2 must be produceable by the key map."""
     from pranet2_tpu.models import get_model
