@@ -45,6 +45,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pranet2_tpu.nn import torch_bn
+
 
 def _silu(x):
     return nn.silu(x)
@@ -114,9 +116,7 @@ class MbConv(nn.Module):
         mid = in_ch * 4
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=dt,
-                                param_dtype=jnp.float32, name=name)
+            return torch_bn(train, dt, name)
 
         shortcut = x
         if self.stride == 2:
@@ -440,9 +440,7 @@ class MaxxVit(nn.Module):
                     padding=((1, 1), (1, 1)), use_bias=True, dtype=dt,
                     param_dtype=jnp.float32, name="stem_conv1")(x)
         if self.stem_norm == "bn_silu":
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                             name="stem_norm1")(x)
+            x = torch_bn(train, dt, "stem_norm1")(x)
             x = _silu(x)
         else:
             x = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,

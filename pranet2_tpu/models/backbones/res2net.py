@@ -27,6 +27,8 @@ import math
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pranet2_tpu.nn import torch_bn
+
 from pranet2_tpu.ops import avg_pool, max_pool
 
 
@@ -53,10 +55,7 @@ class Bottle2neck(nn.Module):
             )
 
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=dt, param_dtype=jnp.float32, name=name,
-            )
+            return torch_bn(train, dt, name,)
 
         out = nn.relu(bn("bn1")(conv(width * self.scale, 1, 1, "conv1")(x)))
 
@@ -115,10 +114,7 @@ class Res2Net(nn.Module):
             )
 
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=dt, param_dtype=jnp.float32, name=name,
-            )
+            return torch_bn(train, dt, name,)
 
         # deep stem: torch names conv1.{0,1,3,4,6} + bn1
         x = nn.relu(bn("conv1_1")(conv(32, 3, 2, "conv1_0", pad=1)(x)))

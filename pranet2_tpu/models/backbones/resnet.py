@@ -11,6 +11,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pranet2_tpu.nn import torch_bn
+
 from pranet2_tpu.ops import max_pool
 
 _LAYERS = {
@@ -39,9 +41,7 @@ class _Block(nn.Module):
                            dtype=dt, param_dtype=jnp.float32, name=name)
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=dt,
-                                param_dtype=jnp.float32, name=name)
+            return torch_bn(train, dt, name)
 
         residual = x
         if self.kind == "basic":
@@ -73,9 +73,7 @@ class ResNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=dt, param_dtype=jnp.float32,
                     name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                         name="bn1")(x)
+        x = torch_bn(train, dt, "bn1")(x)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
 

@@ -18,18 +18,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pranet2_tpu.nn import ConvBN
+from pranet2_tpu.nn import ConvBN, torch_bn
 from pranet2_tpu.ops import dsra_gate, resize_bilinear, upsample_nearest
-
-
-class _BNorm(nn.Module):
-    dtype: jnp.dtype | None = None
-
-    @nn.compact
-    def __call__(self, x, train=False):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="bn")(x)
 
 
 class ConvBlock(nn.Module):
@@ -45,9 +35,7 @@ class ConvBlock(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                         use_bias=True, dtype=dt, param_dtype=jnp.float32,
                         name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                             name=f"bn{i + 1}")(x)
+            x = torch_bn(train, dt, f"bn{i + 1}")(x)
             x = nn.relu(x)
         return x
 
@@ -64,9 +52,7 @@ class UpConv(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="bn")(x)
+        x = torch_bn(train, self.dtype, "bn")(x)
         return nn.relu(x)
 
 
@@ -83,16 +69,12 @@ class AttentionGate(nn.Module):
         def branch(t, name):
             t = nn.Conv(self.f_int, (1, 1), use_bias=True, dtype=dt,
                         param_dtype=jnp.float32, name=name)(t)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=dt,
-                                param_dtype=jnp.float32, name=f"{name}_bn")(t)
+            return torch_bn(train, dt, f"{name}_bn")(t)
 
         psi = nn.relu(branch(g, "W_g") + branch(x, "W_x"))
         psi = nn.Conv(1, (1, 1), use_bias=True, dtype=dt,
                       param_dtype=jnp.float32, name="psi")(psi)
-        psi = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                           name="psi_bn")(psi)
+        psi = torch_bn(train, dt, "psi_bn")(psi)
         return x * nn.sigmoid(psi)
 
 

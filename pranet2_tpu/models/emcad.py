@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from pranet2_tpu.models.backbones.pvtv2 import PVT_CONFIGS, PVTv2
 from pranet2_tpu.models.registry import register_model
-from pranet2_tpu.nn import ConvBN
+from pranet2_tpu.nn import ConvBN, torch_bn
 from pranet2_tpu.ops import dsra_gate, resize_bilinear, upsample_nearest
 
 
@@ -55,16 +55,6 @@ def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     x = x.reshape(n, h, w, groups, c // groups)
     x = jnp.swapaxes(x, 3, 4)
     return x.reshape(n, h, w, c)
-
-
-class _BN(nn.Module):
-    dtype: jnp.dtype | None = None
-
-    @nn.compact
-    def __call__(self, x, train=False):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="bn")(x)
 
 
 class MSCB(nn.Module):
@@ -93,9 +83,7 @@ class MSCB(nn.Module):
                            dtype=dt, param_dtype=jnp.float32, name=name)
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=dt,
-                                param_dtype=jnp.float32, name=name)
+            return torch_bn(train, dt, name)
 
         p = act(bn("pconv1_bn")(conv(ex, 1, 1, "pconv1")(x)))
 
@@ -141,9 +129,7 @@ class EUCB(nn.Module):
         x = nn.Conv(in_ch, (k, k), padding=((k // 2, k // 2), (k // 2, k // 2)),
                     feature_group_count=in_ch, use_bias=False, dtype=dt,
                     param_dtype=jnp.float32, name="up_dwc")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                         name="up_dwc_bn")(x)
+        x = torch_bn(train, dt, "up_dwc_bn")(x)
         x = _act(self.activation)(x)
         # channel_shuffle(x, in_channels) with 1 channel/group == identity
         x = nn.Conv(self.out_channels, (1, 1), use_bias=True, dtype=dt,
@@ -171,16 +157,12 @@ class LGAG(nn.Module):
                         padding=((k // 2, k // 2), (k // 2, k // 2)),
                         feature_group_count=groups, use_bias=True, dtype=dt,
                         param_dtype=jnp.float32, name=name)(t)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=dt,
-                                param_dtype=jnp.float32, name=f"{name}_bn")(t)
+            return torch_bn(train, dt, f"{name}_bn")(t)
 
         psi = _act(self.activation)(branch(g, "W_g") + branch(x, "W_x"))
         psi = nn.Conv(1, (1, 1), use_bias=True, dtype=dt,
                       param_dtype=jnp.float32, name="psi")(psi)
-        psi = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                           name="psi_bn")(psi)
+        psi = torch_bn(train, dt, "psi_bn")(psi)
         return x * nn.sigmoid(psi)
 
 
@@ -337,9 +319,7 @@ class EMCADNet(nn.Module):
         if x.shape[-1] == 1:
             x = nn.Conv(3, (1, 1), dtype=dt, param_dtype=jnp.float32,
                         name="stem_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                             name="stem_bn")(x)
+            x = torch_bn(train, dt, "stem_bn")(x)
             x = nn.relu(x)
         n, h, w, _ = x.shape
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pranet2_tpu.nn import torch_bn
+
 from pranet2_tpu.models.backbones.maxvit import MAXVIT_CONFIGS, MaxxVit
 from pranet2_tpu.models.decoders import CascadeAdd, CascadeAddDual, CascadeCat
 from pranet2_tpu.models.registry import register_model
@@ -51,9 +53,7 @@ class _GrayStem(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(3, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="stem_bn")(x)
+        x = torch_bn(train, self.dtype, "stem_bn")(x)
         return nn.relu(x)
 
 

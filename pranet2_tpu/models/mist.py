@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pranet2_tpu.nn import torch_bn
+
 from pranet2_tpu.models.backbones.maxvit import MAXVIT_CONFIGS, MaxxVit
 from pranet2_tpu.models.registry import register_model
 from pranet2_tpu.ops import dsra_gate, max_pool, resize_bilinear, upsample_nearest
@@ -239,9 +241,7 @@ class MISTCAM(nn.Module):
         if x.shape[-1] == 1:
             x = nn.Conv(3, (1, 1), dtype=dt, param_dtype=jnp.float32,
                         name="stem_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                             name="stem_bn")(x)
+            x = torch_bn(train, dt, "stem_bn")(x)
             x = nn.relu(x)
         n, h, w, _ = x.shape
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from pranet2_tpu.models.backbones.res2net import Res2Net
 from pranet2_tpu.models.registry import register_model
-from pranet2_tpu.nn import RFB, ConvBN, PartialDecoder
+from pranet2_tpu.nn import RFB, ConvBN, PartialDecoder, torch_bn
 from pranet2_tpu.ops import dsra_gate, resize_bilinear, reverse_attention
 from pranet2_tpu.ops.dsra import dsra_gate_pallas
 
@@ -177,9 +177,7 @@ class PraNetV2(nn.Module):
             # grayscale stem: 1x1 conv -> BN -> ReLU to 3 channels
             x = nn.Conv(3, (1, 1), dtype=dt, param_dtype=jnp.float32,
                         name="stem_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                             name="stem_bn")(x)
+            x = torch_bn(train, dt, "stem_bn")(x)
             x = nn.relu(x)
         n, h, w, _ = x.shape
         bb, (c2, c3, c4) = _make_backbone(self.backbone, dt)

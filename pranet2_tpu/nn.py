@@ -20,6 +20,19 @@ import jax.numpy as jnp
 from pranet2_tpu.ops import resize_bilinear
 
 
+
+def torch_bn(train: bool, dtype=None, name: str = "bn") -> nn.BatchNorm:
+    """torch-semantics BatchNorm2d constructor (momentum 0.1 torch == 0.9
+    flax, eps 1e-5, f32 params) — the single definition every model uses."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
