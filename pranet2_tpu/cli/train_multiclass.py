@@ -50,6 +50,8 @@ def main():
     p.add_argument("--base_lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=2222)
     p.add_argument("--dual", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--supervision", default="mutation",
+                   choices=["mutation", "deep_supervision", "last_layer"])
     # EMCAD-specific
     p.add_argument("--encoder", default="pvt_v2_b2")
     p.add_argument("--kernel_sizes", type=int, nargs="+", default=[1, 3, 5])
@@ -86,7 +88,7 @@ def main():
     cfg = MulticlassTrainConfig(
         num_classes=num_classes, max_epochs=max_epochs,
         batch_size=batch_size, img_size=img_size, lr=args.base_lr,
-        dual=args.dual, seed=args.seed,
+        dual=args.dual, seed=args.seed, supervision=args.supervision,
     )
     def _with_cache(raw_ds, transform):
         from pranet2_tpu.data import AugmentedView, CachedDataset

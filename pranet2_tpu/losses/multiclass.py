@@ -71,6 +71,19 @@ def bce_with_logits(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(bce_logits(pred.astype(jnp.float32), target.astype(jnp.float32)))
 
 
+def supervision_subsets(n_maps: int, supervision: str = "mutation"):
+    """Stage-index subsets per supervision mode (``EMCAD/trainer.py:109-121``):
+    'mutation' = non-empty powerset, 'deep_supervision' = singletons,
+    'last_layer' = the finest map only."""
+    if supervision == "mutation":
+        return powerset(list(range(n_maps)))
+    if supervision == "deep_supervision":
+        return [[i] for i in range(n_maps)]
+    if supervision == "last_layer":
+        return [[n_maps - 1]]
+    raise ValueError(f"unknown supervision {supervision!r}")
+
+
 def mutation_loss(
     fg_maps: Sequence[jnp.ndarray],
     labels: jnp.ndarray,
@@ -78,13 +91,14 @@ def mutation_loss(
     bg_maps: Sequence[jnp.ndarray] | None = None,
     weights: tuple[float, float, float] = (0.5, 0.7, 0.3),
     single_weights: tuple[float, float] = (0.3, 0.7),
+    supervision: str = "mutation",
 ) -> jnp.ndarray:
     """MUTATION powerset supervision over the 4 decoder-stage logit maps.
 
     ``fg_maps``/``bg_maps``: 4 NHWC logit maps at full label resolution.
     Dual mode when ``bg_maps`` is given; bg target derived from labels.
     """
-    subsets = powerset(list(range(len(fg_maps))))
+    subsets = supervision_subsets(len(fg_maps), supervision)
     loss = 0.0
     if bg_maps is not None:
         lc1, lc2, lc3 = weights

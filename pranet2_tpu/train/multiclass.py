@@ -145,6 +145,7 @@ class MulticlassTrainConfig:
     eval_from_frac: float = 0.5     # start validating at this fraction of epochs
     best_threshold: float = 0.80    # min val mean-dice to save best
     remat: bool = False             # rematerialize the forward
+    supervision: str = "mutation"   # 'mutation' | 'deep_supervision' | 'last_layer'
 
 
 def make_multiclass_train_step(model, cfg: MulticlassTrainConfig):
@@ -168,12 +169,13 @@ def make_multiclass_train_step(model, cfg: MulticlassTrainConfig):
             if cfg.dual:
                 loss = mutation_loss(
                     list(outs[:4]), labels, cfg.num_classes, list(outs[4:]),
-                    weights=cfg.loss_weights,
+                    weights=cfg.loss_weights, supervision=cfg.supervision,
                 )
             else:
                 loss = mutation_loss(
                     list(outs), labels, cfg.num_classes,
                     single_weights=cfg.single_weights,
+                    supervision=cfg.supervision,
                 )
             return loss, updates["batch_stats"]
 

@@ -118,6 +118,30 @@ def test_acdc_augment_bbox_crop():
     assert (out_lab == 2).any()  # label survived crop+zoom
 
 
+def test_supervision_subsets():
+    from pranet2_tpu.losses.multiclass import supervision_subsets
+
+    assert len(supervision_subsets(4, "mutation")) == 15
+    assert supervision_subsets(4, "deep_supervision") == [[0], [1], [2], [3]]
+    assert supervision_subsets(4, "last_layer") == [[3]]
+    with pytest.raises(ValueError):
+        supervision_subsets(4, "bogus")
+
+
+def test_mutation_loss_supervision_modes(rng):
+    from pranet2_tpu.losses.multiclass import mutation_loss
+
+    fg = [jnp.asarray(rng.standard_normal((1, 8, 8, 3), dtype=np.float32))
+          for _ in range(4)]
+    bg = [jnp.asarray(rng.standard_normal((1, 8, 8, 3), dtype=np.float32))
+          for _ in range(4)]
+    lbl = jnp.asarray(rng.integers(0, 3, (1, 8, 8)))
+    lm = float(mutation_loss(fg, lbl, 3, bg, supervision="mutation"))
+    ld = float(mutation_loss(fg, lbl, 3, bg, supervision="deep_supervision"))
+    ll = float(mutation_loss(fg, lbl, 3, bg, supervision="last_layer"))
+    assert lm > ld > ll > 0  # 15 vs 4 vs 1 subset terms
+
+
 # ---------------------------------------------------------------------------
 # EMCAD end-to-end slice
 # ---------------------------------------------------------------------------
