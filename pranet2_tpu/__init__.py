@@ -17,3 +17,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from pranet2_tpu.models import get_model, list_models  # noqa: E402
+
+__all__ = ["get_model", "list_models", "__version__"]
