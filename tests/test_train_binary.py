@@ -106,6 +106,29 @@ def test_predict_export_uint8(synth_data):
     assert name.endswith(".png")
 
 
+def test_bf16_train_step_sane(synth_data):
+    import jax.numpy as jnp
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.train import create_train_state, make_optimizer
+    from pranet2_tpu.train.binary import make_train_step
+
+    model = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
+    tx = make_optimizer(1e-4, clip_value=0.5)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    gts = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.5).astype(np.float32))
+    state = create_train_state(model, jax.random.key(0), imgs, tx)
+    # params stay f32 even with bf16 compute
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    step = make_train_step(model, target_size=64, rescale=False)
+    losses = []
+    for _ in range(4):
+        state, loss, _ = step(state, imgs, gts)
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # learns on the fixed batch
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pranet2_tpu.models import get_model
     from pranet2_tpu.train import create_train_state, make_optimizer
