@@ -1,0 +1,38 @@
+"""Driver-interface contract tests for __graft_entry__.
+
+The driver imports this module from a fresh interpreter whose jax backend is
+the single tunneled TPU ("axon"); round 1 failed because dryrun_multichip
+assumed the caller had already provisioned n devices.  These tests exercise
+the exact public surface the driver calls — dryrun_multichip must
+self-provision its virtual mesh in a subprocess regardless of the parent
+backend.
+"""
+
+import subprocess
+import sys
+
+
+def test_dryrun_multichip_self_provisions():
+    # Call through the PUBLIC entry point (subprocess re-exec inside), from a
+    # parent whose backend is whatever the environment dictates — the same
+    # situation the driver is in.
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(4)  # 4 keeps compile time modest on the 1-vCPU host
+
+
+def test_entry_compiles_single_device():
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from __graft_entry__ import entry; "
+        "fn, args = entry(); out = jax.jit(fn)(*args); "
+        "import numpy as np; assert np.all(np.isfinite(out)); print('ok')"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ok" in proc.stdout
