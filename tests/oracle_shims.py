@@ -1,0 +1,182 @@
+"""Import shims for running the reference torch models as parity oracles.
+
+The reference code (/root/reference — treated as untrusted spec, imported
+only to *execute* as a numeric oracle, never copied) needs three things this
+image lacks:
+
+* ``timm`` — the reference uses a handful of trivial utilities
+  (``DropPath``, ``to_2tuple``, ``trunc_normal_``/``trunc_normal_tf_``,
+  ``named_apply``, ``register_model``, ``_cfg``, ImageNet mean/std).  We
+  install a minimal stand-in implementing exactly those.
+* ``torchvision`` — only ``torchvision.utils.save_image`` is imported
+  (never called in forward); stubbed.
+* Hard-coded ``torch.load('…pth')`` calls inside model constructors
+  (e.g. /root/reference/binary_seg/lib/Res2Net_v1b.py:198) — neutralized by
+  patching ``torch.load`` to return ``{}`` and making ``load_state_dict``
+  non-strict, so constructors build random-init models.
+
+Each reference sub-repo ships its own top-level package named ``lib``; use
+:func:`load_ref_module` to swap sys.path and purge module caches between
+families.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib
+import sys
+import types
+
+import torch
+
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# minimal timm / torchvision stand-ins
+# ---------------------------------------------------------------------------
+
+
+def _to_2tuple(x):
+    return x if isinstance(x, (tuple, list)) else (x, x)
+
+
+class _DropPath(torch.nn.Module):
+    """Per-sample stochastic depth (identity at rate 0 / eval)."""
+
+    def __init__(self, drop_prob: float = 0.0, scale_by_keep: bool = True):
+        super().__init__()
+        self.drop_prob = float(drop_prob)
+        self.scale_by_keep = scale_by_keep
+
+    def forward(self, x):
+        if self.drop_prob == 0.0 or not self.training:
+            return x
+        keep = 1.0 - self.drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = x.new_empty(shape).bernoulli_(keep)
+        if keep > 0.0 and self.scale_by_keep:
+            mask.div_(keep)
+        return x * mask
+
+
+def _trunc_normal_tf_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+    with torch.no_grad():
+        torch.nn.init.trunc_normal_(tensor, 0.0, 1.0, a, b)
+        tensor.mul_(std).add_(mean)
+    return tensor
+
+
+def _named_apply(fn, module, name="", depth_first=True, include_root=False):
+    if not depth_first and include_root:
+        fn(module=module, name=name)
+    for child_name, child in module.named_children():
+        child_full = f"{name}.{child_name}" if name else child_name
+        _named_apply(fn, child, name=child_full, depth_first=depth_first,
+                     include_root=True)
+    if depth_first and include_root:
+        fn(module=module, name=name)
+    return module
+
+
+def install_shims() -> None:
+    """Install fake ``timm`` / ``torchvision`` modules (idempotent)."""
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm.__path__ = []
+
+        data = types.ModuleType("timm.data")
+        data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+        data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+        models = types.ModuleType("timm.models")
+        models.__path__ = []
+
+        layers = types.ModuleType("timm.models.layers")
+        layers.DropPath = _DropPath
+        layers.to_2tuple = _to_2tuple
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        layers.trunc_normal_tf_ = _trunc_normal_tf_
+
+        registry = types.ModuleType("timm.models.registry")
+        registry.register_model = lambda fn: fn
+
+        vit = types.ModuleType("timm.models.vision_transformer")
+        vit._cfg = lambda url="", **kw: {"url": url, **kw}
+
+        helpers = types.ModuleType("timm.models.helpers")
+        helpers.named_apply = _named_apply
+
+        models.layers = layers
+        models.registry = registry
+        models.vision_transformer = vit
+        models.helpers = helpers
+        timm.data = data
+        timm.models = models
+        sys.modules.update({
+            "timm": timm,
+            "timm.data": data,
+            "timm.models": models,
+            "timm.models.layers": layers,
+            "timm.models.registry": registry,
+            "timm.models.vision_transformer": vit,
+            "timm.models.helpers": helpers,
+        })
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__path__ = []
+        utils = types.ModuleType("torchvision.utils")
+        utils.save_image = lambda *a, **k: None
+        tv.utils = utils
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = utils
+
+
+@contextlib.contextmanager
+def neutralized_loading():
+    """Make hard-coded checkpoint loads inside reference ctors no-ops."""
+    orig_load = torch.load
+    orig_lsd = torch.nn.Module.load_state_dict
+
+    def fake_load(*a, **k):
+        return {}
+
+    def tolerant_lsd(self, state_dict, strict=True, **kw):
+        return orig_lsd(self, state_dict, strict=False, **kw)
+
+    torch.load = fake_load
+    torch.nn.Module.load_state_dict = tolerant_lsd
+    try:
+        yield
+    finally:
+        torch.load = orig_load
+        torch.nn.Module.load_state_dict = orig_lsd
+
+
+def load_ref_module(subrepo: str, modname: str):
+    """Import ``modname`` (e.g. 'lib.pranet') from a reference sub-repo.
+
+    Purges any previously imported ``lib`` package first — every reference
+    sub-repo has its own top-level package called ``lib``.
+    """
+    install_shims()
+    root = f"{REF}/{subrepo}"
+    for key in [k for k in sys.modules if k == "lib" or k.startswith("lib.")]:
+        del sys.modules[key]
+    sys.path.insert(0, root)
+    try:
+        with neutralized_loading():
+            return importlib.import_module(modname)
+    finally:
+        sys.path.remove(root)
+
+
+def to_numpy_sd(module: torch.nn.Module) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def nchw_to_nhwc(t: torch.Tensor):
+    import numpy as np
+
+    return np.moveaxis(t.detach().cpu().numpy(), 1, -1)
