@@ -436,8 +436,10 @@ class MaxxVit(nn.Module):
         img = x.shape[1]
         window = img // 32
         # stem
+        # timm 'rw' stems create their convs via create_conv2d (bias-free);
+        # verified against the reference fork's state_dict (no stem.*.bias).
         x = nn.Conv(self.stem_width[0], (3, 3), strides=(2, 2),
-                    padding=((1, 1), (1, 1)), use_bias=True, dtype=dt,
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
                     param_dtype=jnp.float32, name="stem_conv1")(x)
         if self.stem_norm == "bn_silu":
             x = torch_bn(train, dt, "stem_norm1")(x)
@@ -447,7 +449,7 @@ class MaxxVit(nn.Module):
                              name="stem_norm1")(x)
             x = _gelu(x)
         x = nn.Conv(self.stem_width[1], (3, 3), padding=((1, 1), (1, 1)),
-                    use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                    use_bias=False, dtype=dt, param_dtype=jnp.float32,
                     name="stem_conv2")(x)
 
         feats = []

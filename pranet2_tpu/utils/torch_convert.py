@@ -68,6 +68,13 @@ def convert_state_dict(
         if gamma is not None:  # LayerScale: flax stores the param directly
             put(params, flax_path, gamma)
             continue
+        table = sd.get(f"{prefix}.relative_position_bias_table")
+        if table is not None:
+            # RelPosBias: same (2W-1)^2-row lexicographic table layout on both
+            # sides (timm's unique-inverse index == the swin formula we use);
+            # the relative_position_index buffer is recomputed, not converted.
+            put(params, flax_path + ("relative_position_bias_table",), table)
+            continue
         if is_bn:
             put(params, flax_path + ("scale",), w)
             if b is not None:
@@ -100,8 +107,12 @@ def convert_state_dict(
 
 
 def _is_ignorable(prefix: str) -> bool:
-    # classifier heads / thop counters the feature models never use
-    return bool(re.search(r"(^|\.)(fc|head)$|num_batches_tracked|total_ops|total_params", prefix))
+    # classifier heads / thop counters the feature models never use, plus
+    # MIST Block_decoder.conv3 — defined but dead in the reference forward
+    # (multiclass_seg/MIST/lib/MIST.py:252,265)
+    return bool(re.search(
+        r"(^|\.)(fc|head)$|num_batches_tracked|total_ops|total_params"
+        r"|block_\d\.conv3$", prefix))
 
 
 # ---------------------------------------------------------------------------
@@ -320,6 +331,7 @@ def maxvit_key_map(prefix: str) -> tuple[str, ...] | None:
             "attn.proj": ("attn", "proj"),
             "attn.rel_pos.mlp.fc1": ("attn", "rel_pos", "fc1"),
             "attn.rel_pos.mlp.fc2": ("attn", "rel_pos", "fc2"),
+            "attn.rel_pos": ("attn", "rel_pos"),  # RelPosBias table
             "mlp.fc1": ("mlp_fc1",),
             "mlp.fc2": ("mlp_fc2",),
             "ls1": ("ls1_gamma",),

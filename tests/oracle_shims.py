@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import contextlib
 import importlib
+import os
 import sys
 import types
 
@@ -84,10 +85,13 @@ def install_shims() -> None:
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         timm.__path__ = []
+        timm.__version__ = "0.6.12"  # what the vendored models_timm fork expects
 
         data = types.ModuleType("timm.data")
         data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
         data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+        data.IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+        data.IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
 
         models = types.ModuleType("timm.models")
         models.__path__ = []
@@ -154,6 +158,46 @@ def neutralized_loading():
         torch.nn.Module.load_state_dict = orig_lsd
 
 
+# Python 3.12 rejects dataclass field defaults that are unhashable instances
+# (pre-3.11 only list/dict/set were rejected), which breaks the reference's
+# vendored maxxvit_4out.py at import.  We exec a minimally source-patched copy
+# (two field lines -> default_factory) instead of editing the read-only tree.
+_PY312_FIXES = {
+    "lib.maxxvit_4out": (
+        "lib/maxxvit_4out.py",
+        [
+            ("from dataclasses import dataclass, replace",
+             "from dataclasses import dataclass, replace, field"),
+            ("    conv_cfg: MaxxVitConvCfg = MaxxVitConvCfg()",
+             "    conv_cfg: MaxxVitConvCfg = field(default_factory=MaxxVitConvCfg)"),
+            ("    transformer_cfg: MaxxVitTransformerCfg = MaxxVitTransformerCfg()",
+             "    transformer_cfg: MaxxVitTransformerCfg ="
+             " field(default_factory=MaxxVitTransformerCfg)"),
+        ],
+    ),
+}
+
+
+def _exec_patched(root: str, fullname: str, relpath: str, fixes) -> None:
+    with open(f"{root}/{relpath}") as f:
+        src = f.read()
+    for old, new in fixes:
+        assert old in src, f"py312 fix pattern not found in {relpath}: {old!r}"
+        src = src.replace(old, new)
+    mod = types.ModuleType(fullname)
+    mod.__file__ = f"{root}/{relpath}"
+    pkg, _, _ = fullname.rpartition(".")
+    mod.__package__ = pkg
+    sys.modules[fullname] = mod
+    try:
+        exec(compile(src, mod.__file__, "exec"), mod.__dict__)
+    except BaseException:
+        del sys.modules[fullname]
+        raise
+    if pkg and pkg in sys.modules:
+        setattr(sys.modules[pkg], fullname.rpartition(".")[2], mod)
+
+
 def load_ref_module(subrepo: str, modname: str):
     """Import ``modname`` (e.g. 'lib.pranet') from a reference sub-repo.
 
@@ -167,6 +211,10 @@ def load_ref_module(subrepo: str, modname: str):
     sys.path.insert(0, root)
     try:
         with neutralized_loading():
+            for fullname, (relpath, fixes) in _PY312_FIXES.items():
+                if os.path.exists(f"{root}/{relpath}"):
+                    importlib.import_module(fullname.rpartition(".")[0])
+                    _exec_patched(root, fullname, relpath, fixes)
             return importlib.import_module(modname)
     finally:
         sys.path.remove(root)
