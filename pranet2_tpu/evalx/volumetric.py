@@ -38,9 +38,12 @@ def jaccard(pred: np.ndarray, gt: np.ndarray) -> float:
 
 
 def hd95(pred: np.ndarray, gt: np.ndarray, spacing=None) -> float:
+    # medpy.metric.binary.hd95 takes the 95th percentile of the *combined*
+    # (hstacked) surface-distance distribution of both directions — NOT the
+    # max of per-direction percentiles (that would be a different statistic).
     d1 = _surface_distances(pred, gt, spacing)
     d2 = _surface_distances(gt, pred, spacing)
-    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
 def assd(pred: np.ndarray, gt: np.ndarray, spacing=None) -> float:
