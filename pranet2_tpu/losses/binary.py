@@ -38,10 +38,11 @@ def structure_loss(
     ``weit`` may be precomputed (``_boundary_weight(mask_fg)``) and shared
     across the 4 lateral-map losses — see :func:`structure_loss_multi`.
     """
-    pred = pred.astype(jnp.float32)
-    pred_bg = pred_bg.astype(jnp.float32)
-    mask_fg = mask_fg.astype(jnp.float32)
-    mask_bg = mask_bg.astype(jnp.float32)
+    ct = jnp.promote_types(pred.dtype, jnp.float32)
+    pred = pred.astype(ct)
+    pred_bg = pred_bg.astype(ct)
+    mask_fg = mask_fg.astype(ct)
+    mask_bg = mask_bg.astype(ct)
 
     if weit is None:
         weit = _boundary_weight(mask_fg)
@@ -62,7 +63,7 @@ def structure_loss_multi(fg_maps, bg_maps, mask_fg, mask_bg):
     """Sum of structure losses over the 4 lateral-map pairs with the
     boundary weight computed once (identical math to 4 separate calls —
     the reference recomputes the 31x31 pool per loss, ``MyTrain_med.py:78-82``)."""
-    mask_fg = mask_fg.astype(jnp.float32)
+    mask_fg = mask_fg.astype(jnp.promote_types(mask_fg.dtype, jnp.float32))
     weit = _boundary_weight(mask_fg)
     return sum(
         structure_loss(f, b, mask_fg, mask_bg, weit=weit)
@@ -72,8 +73,9 @@ def structure_loss_multi(fg_maps, bg_maps, mask_fg, mask_bg):
 
 def structure_loss_v1(pred: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """PraNet-V1 structure loss: weighted BCE + weighted IoU."""
-    pred = pred.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
+    ct = jnp.promote_types(pred.dtype, jnp.float32)
+    pred = pred.astype(ct)
+    mask = mask.astype(ct)
     weit = _boundary_weight(mask)
     wsum = jnp.sum(weit, axis=(1, 2))
     wbce = jnp.sum(weit * bce_logits(pred, mask), axis=(1, 2)) / wsum

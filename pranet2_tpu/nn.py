@@ -15,23 +15,84 @@ SyncBN/thread-pipe subsystem (``binary_seg/lib/nn/``).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pranet2_tpu.ops import resize_bilinear
 
 
 
-def torch_bn(train: bool, dtype=None, name: str = "bn") -> nn.BatchNorm:
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact ``torch.nn.BatchNorm2d`` semantics.
+
+    Differs from ``flax.linen.BatchNorm`` in one way that matters for
+    train-from-scratch parity: torch updates ``running_var`` with the
+    **unbiased** (Bessel-corrected, n/(n-1)) batch variance while normalizing
+    with the biased one; flax uses the biased variance for both.  Variable
+    names/collections match flax BatchNorm ('scale'/'bias' params,
+    'mean'/'var' batch_stats) so the ``.pth`` converter is unaffected.
+    Stats are computed in f32 regardless of compute dtype.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9          # keep-rate == 1 - torch momentum (0.1)
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (feat,),
+            jnp.float32)
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (feat,),
+            jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = x.size // feat
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        dtype = self.dtype or x.dtype
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(dtype)
+        return (x.astype(dtype) - mean.astype(dtype)) * mul + bias.astype(dtype)
+
+
+def torch_bn(train: bool, dtype=None, name: str = "bn") -> TorchBatchNorm:
     """torch-semantics BatchNorm2d constructor (momentum 0.1 torch == 0.9
     flax, eps 1e-5, f32 params) — the single definition every model uses."""
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
         dtype=dtype,
-        param_dtype=jnp.float32,
         name=name,
     )
+
+def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth (timm ``DropPath``, scale_by_keep=True).
+
+    Identity at rate 0 or in eval; otherwise zeroes whole samples with
+    probability ``rate`` and rescales survivors by 1/keep
+    (reference: the vendored fork's drop-path knobs,
+    ``multiclass_seg/MERIT/lib/maxxvit_4out.py:1611,1636``).
+    """
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, 0.0)
+
 
 def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
@@ -46,12 +107,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="bn",
         )(x)
 
@@ -85,12 +145,11 @@ class ConvBN(nn.Module):
             param_dtype=jnp.float32,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="bn",
         )(x)
         return x

@@ -57,7 +57,8 @@ def avg_pool(
     pads = ((0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0))
 
     dt = x.dtype
-    xf = x.astype(jnp.float32)
+    ct = jnp.promote_types(dt, jnp.float32)
+    xf = x.astype(ct)
     summed = lax.reduce_window(
         xf, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1), pads
     )
@@ -68,14 +69,14 @@ def avg_pool(
             div = float(kh * kw)
             out = summed / div
         else:
-            ones = jnp.ones((1, h + 2 * ph, w + 2 * pw, 1), jnp.float32)
+            ones = jnp.ones((1, h + 2 * ph, w + 2 * pw, 1), ct)
             cnt = lax.reduce_window(
                 ones, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1),
                 ((0, 0), (0, eh), (0, ew), (0, 0)),
             )
             out = summed / cnt
     else:
-        ones = jnp.ones((1, h, w, 1), jnp.float32)
+        ones = jnp.ones((1, h, w, 1), ct)
         cnt = lax.reduce_window(
             ones, 0.0, lax.add, (1, kh, kw, 1), (1, sh, sw, 1),
             ((0, 0), (ph, ph + eh), (pw, pw + ew), (0, 0)),

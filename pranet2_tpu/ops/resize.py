@@ -30,7 +30,7 @@ import numpy as np
 def _interp_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
     """Dense (dst, src) 1-D bilinear interpolation matrix, torch semantics."""
     if dst == src:
-        return np.eye(dst, dtype=np.float32)
+        return np.eye(dst, dtype=np.float64)
     out = np.zeros((dst, src), dtype=np.float64)
     if align_corners:
         if dst == 1:
@@ -46,7 +46,7 @@ def _interp_matrix(src: int, dst: int, align_corners: bool) -> np.ndarray:
     rows = np.arange(dst)
     np.add.at(out, (rows, i0), 1.0 - frac)
     np.add.at(out, (rows, i1), frac)
-    return out.astype(np.float32)
+    return out  # f64; consumers cast to their compute dtype
 
 
 def resize_bilinear(
@@ -64,13 +64,14 @@ def resize_bilinear(
     n, h, w, c = x.shape
     if (h, w) == (h_out, w_out):
         return x
-    wh = jnp.asarray(_interp_matrix(h, h_out, align_corners))
-    ww = jnp.asarray(_interp_matrix(w, w_out, align_corners))
     dt = x.dtype
-    # (N,H,W,C): contract H then W. Compute in f32 for parity, cast back.
+    ct = jnp.promote_types(dt, jnp.float32)  # f32 min (bf16 -> f32, f64 stays)
+    wh = jnp.asarray(_interp_matrix(h, h_out, align_corners), dtype=ct)
+    ww = jnp.asarray(_interp_matrix(w, w_out, align_corners), dtype=ct)
+    # (N,H,W,C): contract H then W. Compute in >=f32 for parity, cast back.
     # precision=highest: the interpolation weights must not be rounded to
     # bf16 on the MXU, or subpixel drift moves threshold-sweep metrics.
-    y = jnp.einsum("ah,nhwc->nawc", wh, x.astype(jnp.float32),
+    y = jnp.einsum("ah,nhwc->nawc", wh, x.astype(ct),
                    precision=jax.lax.Precision.HIGHEST)
     y = jnp.einsum("bw,nawc->nabc", ww, y,
                    precision=jax.lax.Precision.HIGHEST)
@@ -94,14 +95,15 @@ def resize_bilinear_np(x: np.ndarray, size: tuple[int, int],
     on host these are two small matmuls.
     """
     h_out, w_out = size
-    x = np.asarray(x, np.float32)
+    x = np.asarray(x)
+    x = x.astype(np.promote_types(x.dtype, np.float32))
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
     n, h, w, c = x.shape
     if (h, w) != (h_out, w_out):
-        wh = _interp_matrix(h, h_out, align_corners)
-        ww = _interp_matrix(w, w_out, align_corners)
+        wh = _interp_matrix(h, h_out, align_corners).astype(x.dtype)
+        ww = _interp_matrix(w, w_out, align_corners).astype(x.dtype)
         x = np.einsum("ah,nhwc->nawc", wh, x)
         x = np.einsum("bw,nawc->nabc", ww, x)
     return x[0] if squeeze else x

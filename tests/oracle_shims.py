@@ -133,8 +133,16 @@ def install_shims() -> None:
         utils = types.ModuleType("torchvision.utils")
         utils.save_image = lambda *a, **k: None
         tv.utils = utils
+        models = types.ModuleType("torchvision.models")
+
+        def _no_download(*a, **k):  # CRANet.initialize_weights is patched out
+            raise RuntimeError("torchvision.models stub: no downloads here")
+
+        models.resnet50 = _no_download
+        tv.models = models
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = utils
+        sys.modules["torchvision.models"] = models
 
 
 @contextlib.contextmanager
@@ -221,7 +229,11 @@ def load_ref_module(subrepo: str, modname: str):
 
 
 def to_numpy_sd(module: torch.nn.Module) -> dict:
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    # .copy() matters: .numpy() aliases the torch storage, and jnp.asarray on
+    # the CPU backend can be zero-copy too — torch in-place mutation (opt.step,
+    # train-mode BN running-stat updates) would silently change the JAX arrays.
+    return {k: v.detach().cpu().numpy().copy()
+            for k, v in module.state_dict().items()}
 
 
 def nchw_to_nhwc(t: torch.Tensor):
