@@ -45,7 +45,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pranet2_tpu.nn import torch_bn
+from pranet2_tpu.nn import drop_path, torch_bn
 
 
 def _silu(x):
@@ -108,6 +108,7 @@ class MbConv(nn.Module):
     out_channels: int
     stride: int = 1
     dtype: jnp.dtype | None = None
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -134,6 +135,8 @@ class MbConv(nn.Module):
         x = _SE(int(mid / 16), dtype=dt, name="se")(x)
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=dt,
                     param_dtype=jnp.float32, name="conv3_1x1")(x)
+        if train and self.drop_path > 0:
+            x = drop_path(x, self.drop_path, False, self.make_rng("dropout"))
         return x + shortcut
 
 
@@ -144,6 +147,7 @@ class ConvNeXtBlock(nn.Module):
     stride: int = 1
     init_values: float = 1e-6
     dtype: jnp.dtype | None = None
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -180,6 +184,8 @@ class ConvNeXtBlock(nn.Module):
         gamma = self.param("ls_gamma", nn.initializers.constant(self.init_values),
                            (self.out_channels,), jnp.float32)
         x = x * gamma
+        if train and self.drop_path > 0:
+            x = drop_path(x, self.drop_path, False, self.make_rng("dropout"))
         return x + shortcut
 
 
@@ -320,11 +326,15 @@ class PartitionAttention(nn.Module):
     init_values: float | None = None
     dtype: jnp.dtype | None = None
     rel_pos_type: str = "mlp"
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dt = self.dtype
         hw = (x.shape[1], x.shape[2])
+        dp_rngs = None
+        if not deterministic and self.drop_path > 0:
+            dp_rngs = jax.random.split(self.make_rng("dropout"))
 
         def ls(t, name):
             if self.init_values is None:
@@ -345,7 +355,10 @@ class PartitionAttention(nn.Module):
             y = window_reverse(p, self.window, hw)
         else:
             y = grid_reverse(p, self.window, hw)
-        x = x + ls(y, "ls1_gamma")
+        y = ls(y, "ls1_gamma")
+        if dp_rngs is not None:
+            y = drop_path(y, self.drop_path, False, dp_rngs[0])
+        x = x + y
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                          name="norm2")(x)
@@ -354,7 +367,10 @@ class PartitionAttention(nn.Module):
         y = _gelu(y)
         y = nn.Dense(self.dim, use_bias=True, dtype=dt,
                      param_dtype=jnp.float32, name="mlp_fc2")(y)
-        return x + ls(y, "ls2_gamma")
+        y = ls(y, "ls2_gamma")
+        if dp_rngs is not None:
+            y = drop_path(y, self.drop_path, False, dp_rngs[1])
+        return x + y
 
 
 # ---------------------------------------------------------------------------
@@ -370,21 +386,23 @@ class MaxxVitBlock(nn.Module):
     init_values: float | None
     dtype: jnp.dtype | None = None
     rel_pos_type: str = "mlp"
+    drop_path: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        dp = self.drop_path
         if self.conv_type == "mbconv":
-            x = MbConv(self.dim, self.stride, dt, name="conv")(x, train)
+            x = MbConv(self.dim, self.stride, dt, dp, name="conv")(x, train)
         else:
-            x = ConvNeXtBlock(self.dim, self.stride, 1e-6, dt,
+            x = ConvNeXtBlock(self.dim, self.stride, 1e-6, dt, dp,
                               name="conv")(x, train)
         det = not train
         x = PartitionAttention(self.dim, self.window, "block",
-                               self.init_values, dt, self.rel_pos_type,
+                               self.init_values, dt, self.rel_pos_type, dp,
                                name="attn_block")(x, det)
         x = PartitionAttention(self.dim, self.window, "grid",
-                               self.init_values, dt, self.rel_pos_type,
+                               self.init_values, dt, self.rel_pos_type, dp,
                                name="attn_grid")(x, det)
         return x
 
@@ -428,6 +446,7 @@ class MaxxVit(nn.Module):
     init_values: float | None = 1e-6
     stem_norm: str = "bn_silu"
     rel_pos_type: str = "mlp"
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -435,6 +454,11 @@ class MaxxVit(nn.Module):
         dt = self.dtype
         img = x.shape[1]
         window = img // 32
+        # stochastic-depth ramp over all blocks (timm linspace convention,
+        # maxxvit_4out.py:1611,1636; rate 0 in every reference config)
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
         # stem
         # timm 'rw' stems create their convs via create_conv2d (bias-free);
         # verified against the reference fork's state_dict (no stem.*.bias).
@@ -453,13 +477,15 @@ class MaxxVit(nn.Module):
                     name="stem_conv2")(x)
 
         feats = []
+        cur = 0
         for si, (dim, depth) in enumerate(zip(self.embed_dim, self.depths)):
             for bi in range(depth):
                 x = MaxxVitBlock(
                     dim, 2 if bi == 0 else 1, window, self.conv_type,
-                    self.init_values, dt, self.rel_pos_type,
+                    self.init_values, dt, self.rel_pos_type, dpr[cur + bi],
                     name=f"stages_{si}_blocks_{bi}",
                 )(x, train)
+            cur += depth
             feats.append(x)
         # final norm on last stage only ('layernorm2d' == LN over C in NHWC)
         feats[-1] = nn.LayerNorm(epsilon=1e-6, dtype=dt,
@@ -467,5 +493,6 @@ class MaxxVit(nn.Module):
         return tuple(feats)
 
 
-def maxvit(variant: str, dtype=None) -> MaxxVit:
-    return MaxxVit(**MAXVIT_CONFIGS[variant], dtype=dtype)
+def maxvit(variant: str, dtype=None, drop_path_rate: float = 0.0) -> MaxxVit:
+    return MaxxVit(**MAXVIT_CONFIGS[variant], dtype=dtype,
+                   drop_path_rate=drop_path_rate)

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pranet2_tpu.nn import drop_path as _drop_path
+
 PVT_CONFIGS = {
     "b0": dict(embed_dims=(32, 64, 160, 256), depths=(2, 2, 2, 2),
                num_heads=(1, 2, 5, 8), mlp_ratios=(8, 8, 4, 4)),
@@ -39,14 +41,6 @@ PVT_CONFIGS = {
 }
 
 _SR_RATIOS = (8, 4, 2, 1)
-
-
-def _drop_path(x, rate, deterministic, rng):
-    if deterministic or rate == 0.0:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return jnp.where(mask, x / keep, 0.0)
 
 
 class _Mlp(nn.Module):

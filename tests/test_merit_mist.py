@@ -121,3 +121,38 @@ def test_merit_train_grads_flow(rng):
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_maxvit_drop_path(rng):
+    """Stochastic depth (maxxvit_4out.py:1611,1636): rate 0 = identity knob;
+    rate > 0 is per-sample stochastic in train, inert in eval."""
+    from pranet2_tpu.models.backbones.maxvit import MaxxVit
+
+    kw = dict(embed_dim=(32, 64, 96, 128), depths=(1, 1, 1, 1),
+              stem_width=(16, 32), conv_type="mbconv", init_values=1e-6)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    m0 = MaxxVit(**kw, drop_path_rate=0.0)
+    variables = m0.init(jax.random.key(0), x)
+    md = MaxxVit(**kw, drop_path_rate=0.5)
+    # eval: drop-path inert (same params — it has none; allclose because the
+    # two module configs compile to different executables/fusions)
+    out_eval = md.apply(variables, x)
+    out0_eval = m0.apply(variables, x)
+    for a, b in zip(out_eval, out0_eval):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def train_out(model, seed):
+        outs, _ = model.apply(
+            variables, x, True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(seed)},
+        )
+        return np.asarray(outs[-1])
+
+    # rate 0 across rngs: only the RelPosMlp's own 0.125 dropout moves
+    # (tiny); rate .5 drops whole residual branches (order-1 changes)
+    small = np.abs(train_out(m0, 1) - train_out(m0, 2)).max()
+    big = np.abs(train_out(md, 1) - train_out(md, 2)).max()
+    assert big > 0.05, big
+    assert big > 10 * small, (big, small)
+    # fixed rng: bitwise reproducible (same executable)
+    np.testing.assert_array_equal(train_out(md, 1), train_out(md, 1))
