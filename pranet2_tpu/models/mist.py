@@ -269,3 +269,92 @@ class MISTCAM(nn.Module):
 @register_model("mist_cam")
 def _mist_cam(**kw):
     return MISTCAM(**kw)
+
+
+# ---------------------------------------------------------------------------
+# standalone attention utilities shipped with the reference MIST module
+# (``multiclass_seg/MIST/lib/MIST.py:102-167``).  No reference CLI uses them,
+# but they are part of the module's public surface, so they live here with
+# oracle parity tests.  (The FCT1/FCT2 decoder assemblies at MIST.py:469-579
+# are de-scoped — see COMPONENTS.md: they are unreachable dead code in the
+# reference itself.)
+# ---------------------------------------------------------------------------
+
+
+class ChannelAttentionCBAM(nn.Module):
+    """avg+max pooled MLP channel gate (``MIST.py:102-118``); returns the
+    sigmoid gate (caller multiplies)."""
+
+    reduction_ratio: int = 16
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        c = x.shape[-1]
+        fc1 = nn.Conv(c // self.reduction_ratio, (1, 1), use_bias=False,
+                      dtype=dt, param_dtype=jnp.float32, name="fc1")
+        fc2 = nn.Conv(c, (1, 1), use_bias=False, dtype=dt,
+                      param_dtype=jnp.float32, name="fc2")
+        avg = jnp.mean(x, axis=(1, 2), keepdims=True)
+        mx = jnp.max(x, axis=(1, 2), keepdims=True)
+        return nn.sigmoid(fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx))))
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (``MIST.py:121-136``); returns gated ``x``."""
+
+    reduction_ratio: int = 16
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.dtype
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.Dense(c // self.reduction_ratio, dtype=dt,
+                     param_dtype=jnp.float32, name="excitation_0")(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, dtype=dt, param_dtype=jnp.float32,
+                     name="excitation_2")(y)
+        return x * nn.sigmoid(y)[:, None, None, :]
+
+
+class SpatialAttentionCBAM(nn.Module):
+    """7x7 conv over [mean, max] channel stats (``MIST.py:139-154``);
+    returns the sigmoid gate."""
+
+    kernel_size: int = 7
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.kernel_size in (3, 7)
+        p = 3 if self.kernel_size == 7 else 1
+        stats = jnp.concatenate(
+            [jnp.mean(x, axis=-1, keepdims=True),
+             jnp.max(x, axis=-1, keepdims=True)], axis=-1)
+        k = self.kernel_size
+        out = nn.Conv(1, (k, k), padding=((p, p), (p, p)), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv")(stats)
+        return nn.sigmoid(out)
+
+
+class CBAM(nn.Module):
+    """``x*channel_gate + x*spatial_gate`` (``MIST.py:157-167``).
+
+    The reference ctor also builds an ``SE`` member that forward never uses;
+    the converter ignores those dead weights (like Block_decoder.conv3)."""
+
+    reduction_ratio: int = 16
+    kernel_size: int = 7
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        ca = ChannelAttentionCBAM(self.reduction_ratio, self.dtype,
+                                  name="channel_attention")(x)
+        sa = SpatialAttentionCBAM(self.kernel_size, self.dtype,
+                                  name="spatial_attention")(x)
+        return x * ca + x * sa

@@ -48,6 +48,14 @@ def _make_backbone(kind: str, dtype):
             PVTv2(**PVT_CONFIGS["b2"], dtype=dtype, name="backbone"),
             (128, 320, 512),
         )
+    if kind == "resnet50":
+        from pranet2_tpu.models.backbones.resnet import ResNet
+
+        return (
+            ResNet(kind="bottleneck", layers=(3, 4, 6, 3), dtype=dtype,
+                   name="backbone"),
+            (512, 1024, 2048),
+        )
     raise ValueError(f"unknown backbone {kind!r}")
 
 
@@ -238,6 +246,15 @@ def _pranet_v1(**kw):
 @register_model("pvt_pranet_v1")
 def _pvt_pranet_v1(**kw):
     return PraNetV1(backbone="pvt_v2_b2", **kw)
+
+
+@register_model("pranet_v1_resnet")
+def _pranet_v1_resnet(**kw):
+    """Legacy 'CRANet' (``binary_seg/lib/PraNet_ResNet.py:102``): PraNet-V1
+    over a plain torchvision-style ResNet-50 — identical RFB/decoder/RA heads,
+    only the encoder differs.  Not wired to any reference CLI; kept for
+    checkpoint compatibility."""
+    return PraNetV1(backbone="resnet50", **kw)
 
 
 @register_model("pranet_v2")

@@ -489,11 +489,15 @@ def _with_prefix(inner: KeyMap, torch_prefix: str, flax_prefix: str) -> KeyMap:
 def pranet_key_map(version: str, backbone: str) -> KeyMap:
     """Key map for full PraNet models (binary_seg checkpoints).
 
-    version: 'v1' | 'v2';  backbone: 'res2net50' | 'pvt_v2_b2'.
-    Torch top-level names: 'resnet' (V1-res2net) or 'backbone' (others).
+    version: 'v1' | 'v2';  backbone: 'res2net50' | 'pvt_v2_b2' | 'resnet50'
+    ('resnet50' = the legacy CRANet, binary_seg/lib/PraNet_ResNet.py:102).
+    Torch top-level names: 'resnet' (V1 variants) or 'backbone' (others).
     """
-    bb_torch = "resnet" if (version == "v1" and backbone == "res2net50") else "backbone"
-    bb_map = res2net_key_map if backbone == "res2net50" else pvtv2_key_map
+    bb_torch = ("resnet" if (version == "v1"
+                             and backbone in ("res2net50", "resnet50"))
+                else "backbone")
+    bb_map = {"res2net50": res2net_key_map, "resnet50": resnet_key_map,
+              "pvt_v2_b2": pvtv2_key_map}[backbone]
     bb = _with_prefix(bb_map, bb_torch, "backbone")
 
     def head(prefix: str) -> tuple[str, ...] | None:

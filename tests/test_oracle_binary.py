@@ -96,3 +96,15 @@ def test_pvt_pranet_v2_grayscale_stem_oracle_parity(rng):
         ref = mod.PVT_PraNet_V2(num_class=1)
     _parity(ref, get_model("pvt_pranet_v2", num_class=1),
             pranet_key_map("v2", "pvt_v2_b2"), _input(rng, 1), 8)
+
+
+def test_cranet_legacy_oracle_parity(rng):
+    """Legacy 'CRANet' PraNet_ResNet (binary_seg/lib/PraNet_ResNet.py:102):
+    PraNet-V1 heads over a plain ResNet-50 encoder."""
+    mod = load_ref_module("binary_seg", "lib.PraNet_ResNet")
+    mod.CRANet.initialize_weights = lambda self: None  # no ckpt downloads
+    torch.manual_seed(5)
+    with neutralized_loading():
+        ref = mod.CRANet(channel=32)
+    _parity(ref, get_model("pranet_v1_resnet"),
+            pranet_key_map("v1", "resnet50"), _input(rng, 3), 4)

@@ -138,3 +138,69 @@ def _deterministic_torch_dropout():
         yield
     finally:
         torch.nn.functional.dropout = orig
+
+
+# ---------------------------------------------------------------------------
+# standalone MIST attention utilities (MIST.py:102-167)
+# ---------------------------------------------------------------------------
+
+
+def _conv_oihw(w):
+    return jnp.asarray(np.transpose(w.detach().numpy(), (2, 3, 1, 0)))
+
+
+def test_cbam_se_oracle_parity(rng):
+    """ChannelAttentionCBAM / SEBlock / SpatialAttentionCBAM / CBAM parity
+    vs the reference classes (no CLI uses them; module-surface parity)."""
+    from pranet2_tpu.models.mist import (
+        CBAM, ChannelAttentionCBAM, SEBlock, SpatialAttentionCBAM,
+    )
+
+    mod = load_ref_module("multiclass_seg/MIST", "lib.MIST")
+    torch.manual_seed(11)
+    x = rng.standard_normal((2, 32, 12, 12), dtype=np.float32)
+    tx = torch.from_numpy(x)
+    jx = jnp.asarray(np.moveaxis(x, 1, -1))
+
+    ca = mod.ChannelAttentionCBAM(32).eval()
+    with torch.no_grad():
+        want = ca(tx)
+    got = ChannelAttentionCBAM().apply(
+        {"params": {"fc1": {"kernel": _conv_oihw(ca.fc1.weight)},
+                    "fc2": {"kernel": _conv_oihw(ca.fc2.weight)}}}, jx)
+    np.testing.assert_allclose(np.asarray(got), nchw_to_nhwc(want), atol=1e-6)
+
+    se = mod.SEBlock(32).eval()
+    with torch.no_grad():
+        want = se(tx)
+    lin0, lin2 = se.excitation[0], se.excitation[2]
+    got = SEBlock().apply(
+        {"params": {
+            "excitation_0": {"kernel": jnp.asarray(lin0.weight.detach().numpy().T),
+                             "bias": jnp.asarray(lin0.bias.detach().numpy())},
+            "excitation_2": {"kernel": jnp.asarray(lin2.weight.detach().numpy().T),
+                             "bias": jnp.asarray(lin2.bias.detach().numpy())},
+        }}, jx)
+    np.testing.assert_allclose(np.asarray(got), nchw_to_nhwc(want), atol=1e-5)
+
+    sa = mod.SpatialAttentionCBAM(7).eval()
+    with torch.no_grad():
+        want = sa(tx)
+    got = SpatialAttentionCBAM().apply(
+        {"params": {"conv": {"kernel": _conv_oihw(sa.conv.weight)}}}, jx)
+    np.testing.assert_allclose(np.asarray(got), nchw_to_nhwc(want), atol=1e-6)
+
+    cb = mod.CBAM(32).eval()
+    with torch.no_grad():
+        want = cb(tx)
+    got = CBAM().apply(
+        {"params": {
+            "channel_attention": {
+                "fc1": {"kernel": _conv_oihw(cb.channel_attention.fc1.weight)},
+                "fc2": {"kernel": _conv_oihw(cb.channel_attention.fc2.weight)},
+            },
+            "spatial_attention": {
+                "conv": {"kernel": _conv_oihw(cb.spatial_attention.conv.weight)},
+            },
+        }}, jx)
+    np.testing.assert_allclose(np.asarray(got), nchw_to_nhwc(want), atol=1e-5)
