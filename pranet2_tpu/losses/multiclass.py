@@ -97,26 +97,45 @@ def mutation_loss(
 
     ``fg_maps``/``bg_maps``: 4 NHWC logit maps at full label resolution.
     Dual mode when ``bg_maps`` is given; bg target derived from labels.
+
+    TPU shape: instead of 15 sequential subset passes (the reference's Python
+    loop, ``train_ACDC.py:263-284``), the subset sums are one (S,K) x
+    (K,NHWC) matmul and every CE/Dice/BCE reduction is batched over the
+    subset axis — one fused pass, identical math.
     """
     subsets = supervision_subsets(len(fg_maps), supervision)
-    loss = 0.0
+    sel = jnp.asarray(
+        [[1.0 if i in s else 0.0 for i in range(len(fg_maps))]
+         for s in subsets], dtype=jnp.float32)          # (S, K) static 0/1
+
+    fg = jnp.stack([m.astype(jnp.float32) for m in fg_maps])   # (K,N,H,W,C)
+    iout = jnp.einsum("sk,k...->s...", sel, fg)                # (S,N,H,W,C)
+
+    # batched CE over subsets
+    logp = jax.nn.log_softmax(iout, axis=-1)
+    lab = labels[None, ..., None].astype(jnp.int32)
+    lab = jnp.broadcast_to(lab, (iout.shape[0],) + labels.shape + (1,))
+    ce = -jnp.mean(jnp.take_along_axis(logp, lab, axis=-1), axis=(1, 2, 3, 4))
+
+    # batched reference DiceLoss (batch-global, squared denominator)
+    probs = jax.nn.softmax(iout, axis=-1)
+    target = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    smooth = 1e-5
+    intersect = jnp.einsum("snhwc,nhwc->sc", probs, target)
+    z = jnp.sum(probs * probs, axis=(1, 2, 3))
+    y = jnp.sum(target * target, axis=(0, 1, 2))
+    dice = jnp.mean(1.0 - (2.0 * intersect + smooth) / (z + y[None] + smooth),
+                    axis=-1)
+
     if bg_maps is not None:
         lc1, lc2, lc3 = weights
-        bg_target = one_hot_bg(labels, num_classes)
-        for s in subsets:
-            iout = sum(fg_maps[i] for i in s)
-            ibg = sum(bg_maps[i] for i in s)
-            loss = loss + (
-                lc1 * softmax_ce_loss(iout, labels)
-                + lc2 * dice_loss(iout, labels, num_classes, softmax=True)
-                + lc3 * bce_with_logits(ibg, bg_target)
-            )
+        bg = jnp.stack([m.astype(jnp.float32) for m in bg_maps])
+        ibg = jnp.einsum("sk,k...->s...", sel, bg)
+        bce = jnp.mean(
+            bce_logits(ibg, one_hot_bg(labels, num_classes)[None]),
+            axis=(1, 2, 3, 4))
+        per_subset = lc1 * ce + lc2 * dice + lc3 * bce
     else:
         lc1, lc2 = single_weights
-        for s in subsets:
-            iout = sum(fg_maps[i] for i in s)
-            loss = loss + (
-                lc1 * softmax_ce_loss(iout, labels)
-                + lc2 * dice_loss(iout, labels, num_classes, softmax=True)
-            )
-    return loss
+        per_subset = lc1 * ce + lc2 * dice
+    return jnp.sum(per_subset)
