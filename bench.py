@@ -55,6 +55,9 @@ def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50,
 
 
 def main():
+    import sys
+
+    print(f"device_kind: {jax.devices()[0].device_kind}", file=sys.stderr)
     fps = bench_infer()
     print(json.dumps({
         "metric": "pranet_v2_infer_img_per_sec_352_bs16",

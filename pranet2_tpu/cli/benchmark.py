@@ -4,11 +4,18 @@ Equivalent of the reference's Jittor benchmark protocol
 (``binary_seg/jittor/MyTest.py:63-123``: timing brackets only the forward).
 Prints a table matching ``binary_seg/jittor/README.md:87-127`` so the numbers
 are directly comparable to the PyTorch/Jittor columns.
+
+Methodology (same as the repo-root ``bench.py``): warmup passes to settle the
+device/tunnel, then N timing windows of ``--iters`` sequential dispatches with
+one block at the end; best and median windows are both reported.  The device
+kind, the chip's published peak bf16 FLOP/s, and model FLOPs from the
+compiled HLO (``utils/profiling.cost_analysis``) give an honest MFU%.
 """
 
 from __future__ import annotations
 
 import argparse
+import statistics
 import time
 
 import numpy as np
@@ -21,8 +28,27 @@ REFERENCE_FPS = {  # PyTorch baseline, bs 1/4/8/16 (jittor/README.md)
     "pvt_pranet_v2": (29, 130, 241, 493),
 }
 
+# published peak dense bf16 TFLOP/s per chip (for MFU bookkeeping)
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
 
-def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str):
+
+def device_peak_tflops() -> tuple[str, float | None]:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return kind, PEAK_BF16_TFLOPS.get(kind)
+
+
+def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
+                windows: int = 3, warmup: int = 5, with_flops: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -43,12 +69,27 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str):
         def fwd(v, x):
             return model.apply(v, x)
 
-        jax.block_until_ready(fwd(variables, x))
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(warmup):
             out = fwd(variables, x)
         jax.block_until_ready(out)
-        results.append(bs * iters / (time.perf_counter() - t0))
+        fps = []
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fwd(variables, x)
+            jax.block_until_ready(out)
+            fps.append(bs * iters / (time.perf_counter() - t0))
+        gflop_img = None
+        if with_flops:
+            try:
+                from pranet2_tpu.utils.profiling import cost_analysis
+
+                cost = cost_analysis(fwd, variables, x)
+                gflop_img = cost["flops"] / bs / 1e9
+            except Exception:
+                pass
+        results.append(dict(best=max(fps), median=statistics.median(fps),
+                            gflop_img=gflop_img))
     return results
 
 
@@ -60,22 +101,36 @@ def main():
     p.add_argument("--batch_sizes", type=int, nargs="+", default=[1, 4, 8, 16])
     p.add_argument("--testsize", type=int, default=352)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--windows", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     args = p.parse_args()
 
+    kind, peak = device_peak_tflops()
+    print(f"device_kind: {kind}"
+          + (f"  (peak bf16 ~{peak:.0f} TFLOP/s)" if peak else
+             "  (peak unknown — MFU omitted)"))
+
     rows = []
     for name in args.models:
-        fps = bench_model(name, args.batch_sizes, args.testsize, args.iters,
-                          args.dtype)
+        res = bench_model(name, args.batch_sizes, args.testsize, args.iters,
+                          args.dtype, windows=args.windows)
         ref = REFERENCE_FPS.get(name)
-        for bs, f in zip(args.batch_sizes, fps):
-            r = dict(model=name, bs=bs, fps=round(f, 1))
+        for bs, r in zip(args.batch_sizes, res):
+            row = dict(model=name, bs=bs, fps=round(r["best"], 1),
+                       fps_median=round(r["median"], 1))
+            if r["gflop_img"]:
+                row["gflop_img"] = round(r["gflop_img"], 1)
+                tflops = r["best"] * r["gflop_img"] / 1e3
+                row["tflops"] = round(tflops, 1)
+                if peak:
+                    row["mfu_pct"] = round(100 * tflops / peak, 1)
             if ref is not None and bs in (1, 4, 8, 16):
-                r["torch_fps"] = ref[(1, 4, 8, 16).index(bs)]
-                r["speedup"] = round(f / r["torch_fps"], 2)
-            rows.append(r)
-    headers = ["model", "bs", "fps", "torch_fps", "speedup"]
+                row["torch_fps"] = ref[(1, 4, 8, 16).index(bs)]
+                row["speedup"] = round(r["best"] / row["torch_fps"], 2)
+            rows.append(row)
+    headers = ["model", "bs", "fps", "fps_median", "gflop_img", "tflops",
+               "mfu_pct", "torch_fps", "speedup"]
     print(tabulate([[r.get(h, "") for h in headers] for r in rows],
                    headers=headers))
 

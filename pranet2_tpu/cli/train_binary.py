@@ -30,6 +30,8 @@ def main():
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--snapshot_every", type=int, default=10,
+                   help="epoch snapshot period (MyTrain_med.py:101-103)")
     args = p.parse_args()
 
     from pranet2_tpu.models import get_model
@@ -46,6 +48,7 @@ def main():
         eval_datasets=tuple(args.eval_datasets),
         save_dir=os.path.join("snapshots", args.train_save),
         dtype=args.dtype, seed=args.seed,
+        snapshot_every=args.snapshot_every,
     )
 
     model = get_model(cfg.model, num_class=1)

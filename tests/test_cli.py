@@ -50,3 +50,74 @@ def test_cli_help(mod):
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert "usage" in out.stdout.lower()
+
+
+# ---------------------------------------------------------------------------
+# train-CLI execution tests (tiny synthetic data, 2 epochs)
+# ---------------------------------------------------------------------------
+
+_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+
+
+def _make_polyp_tree(root, n_train=4, n_test=2, size=64):
+    rng = np.random.default_rng(0)
+    for sub in ["TrainDataset/images", "TrainDataset/masks",
+                "TestDataset/DS1/images", "TestDataset/DS1/masks"]:
+        (root / sub).mkdir(parents=True)
+    for i in range(n_train):
+        img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        m = (rng.random((size, size)) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(img).save(root / "TrainDataset/images" / f"{i}.png")
+        Image.fromarray(m).save(root / "TrainDataset/masks" / f"{i}.png")
+    for i in range(n_test):
+        img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        m = (rng.random((size, size)) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(img).save(root / "TestDataset/DS1/images" / f"{i}.png")
+        Image.fromarray(m).save(root / "TestDataset/DS1/masks" / f"{i}.png")
+
+
+def test_train_binary_cli_end_to_end(tmp_path):
+    """2-epoch run of the train CLI: snapshots + best + last must appear
+    (MyTrain_med.py recipe: snapshot per --snapshot_every, best by eval)."""
+    _make_polyp_tree(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "-m", "pranet2_tpu.cli.train_binary",
+         "--model", "pranet_v2", "--epoch", "3", "--batchsize", "2",
+         "--trainsize", "64", "--snapshot_every", "1",
+         "--train_path", "TrainDataset", "--test_root", "TestDataset",
+         "--eval_datasets", "DS1", "--train_save", "t1"],
+        capture_output=True, text=True, timeout=1500, env=_ENV,
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    snap = tmp_path / "snapshots" / "t1"
+    for want in ["epoch_1", "epoch_2", "last", "best"]:
+        assert (snap / want).exists(), f"{want} missing: {list(snap.iterdir()) if snap.exists() else 'no dir'}"
+
+
+def test_train_multiclass_cli_end_to_end(tmp_path):
+    """2-epoch EMCAD/Synapse run of the multiclass train CLI."""
+    rng = np.random.default_rng(0)
+    data = tmp_path / "train_npz"
+    lists = tmp_path / "lists"
+    data.mkdir(), lists.mkdir()
+    names = []
+    for i in range(4):
+        name = f"case{i:04d}_slice{i:03d}"
+        np.savez(data / f"{name}.npz",
+                 image=rng.random((40, 40)).astype(np.float32),
+                 label=rng.integers(0, 14, (40, 40)).astype(np.int64))
+        names.append(name)
+    (lists / "train.txt").write_text("\n".join(names) + "\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "pranet2_tpu.cli.train_multiclass",
+         "--model", "emcad", "--encoder", "pvt_v2_b0", "--dataset", "synapse",
+         "--root_path", str(data), "--list_dir", str(lists),
+         "--max_epochs", "2", "--batch_size", "2", "--img_size", "64",
+         "--save_dir", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=1500, env=_ENV,
+        cwd=tmp_path,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert (tmp_path / "out" / "last").exists()
