@@ -38,17 +38,26 @@ def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50,
         outs = model.apply(v, x)
         return outs[0] + outs[1] + outs[2] + outs[3]
 
+    def fence(o):
+        # HARD completion barrier: a D2H fetch of one element cannot return
+        # before the device finished every queued step.  Over the remote
+        # (axon) tunnel ``block_until_ready`` returns at enqueue-ack, which
+        # inflated round-1 numbers ~17x (tools/bench_audit.py) — never trust
+        # it for timing here.
+        return np.asarray(o[0, 0, 0])
+
     for _ in range(warmup):  # compile + settle the device/tunnel
         out = fwd(variables, x)
-    jax.block_until_ready(out)
-    # best of N timing windows: sequential dispatch, block at end (the
-    # reference brackets model(image) only); best-of filters host/tunnel noise
+    fence(out)
+    # best of N timing windows: sequential dispatch (device-side pipelining
+    # is legitimate throughput), hard fence at each end; best-of filters
+    # host/tunnel noise.  The reference brackets model(image) the same way.
     best = 0.0
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fwd(variables, x)
-        jax.block_until_ready(out)
+        fence(out)
         dt = time.perf_counter() - t0
         best = max(best, batch_size * iters / dt)
     return best

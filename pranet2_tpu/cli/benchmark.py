@@ -69,15 +69,21 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
         def fwd(v, x):
             return model.apply(v, x)
 
+        def fence(o):
+            # hard completion barrier: block_until_ready returns at
+            # enqueue-ack over the remote tunnel (see tools/bench_audit.py)
+            first = jax.tree_util.tree_leaves(o)[0]
+            return np.asarray(first.ravel()[0])
+
         for _ in range(warmup):
             out = fwd(variables, x)
-        jax.block_until_ready(out)
+        fence(out)
         fps = []
         for _ in range(windows):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fwd(variables, x)
-            jax.block_until_ready(out)
+            fence(out)
             fps.append(bs * iters / (time.perf_counter() - t0))
         gflop_img = None
         if with_flops:

@@ -167,6 +167,7 @@ def train(cfg: BinaryTrainConfig, mesh=None, dataset=None, eval_fn=None,
             if i % cfg.log_every == 0:
                 log(f"epoch {epoch} step {i}/{len(loader)} "
                     f"loss {float(loss):.4f}")
+        float(loss)  # hard fence: epoch timing must include device completion
         dt = time.time() - t0
         history.append(dict(epoch=epoch, sec=dt,
                             img_per_sec=n_img * len(cfg.size_rates) / dt))

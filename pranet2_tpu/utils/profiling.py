@@ -17,6 +17,7 @@ import contextlib
 import time
 
 import jax
+import numpy as np
 
 
 def cost_analysis(fn, *args) -> dict:
@@ -37,8 +38,21 @@ def count_params(variables) -> int:
     return sum(p.size for p in jax.tree.leaves(tree))
 
 
+def fence(out):
+    """HARD completion barrier for timing: D2H-fetch one element.
+
+    Over a remote-device tunnel (this image's axon backend)
+    ``jax.block_until_ready`` returns at enqueue-ack, NOT device completion —
+    round-1 throughput was inflated ~17x by trusting it (tools/bench_audit.py).
+    A tiny transfer cannot return early.  Returns its input.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+    return out
+
+
 class Timer:
-    """Wall-clock timer that blocks on device output."""
+    """Wall-clock timer that hard-fences on device output."""
 
     def __init__(self):
         self.times: list[float] = []
@@ -49,7 +63,7 @@ class Timer:
         out = {}
         yield out
         if "result" in out:
-            jax.block_until_ready(out["result"])
+            fence(out["result"])
         self.times.append(time.perf_counter() - t0)
 
     @property
@@ -58,14 +72,14 @@ class Timer:
 
 
 def throughput(fn, args, batch_size: int, iters: int = 50, warmup: int = 2):
-    """images/sec of ``fn(*args)``; compiles first, blocks at the end."""
+    """images/sec of ``fn(*args)``; compiles first, hard-fences at the end."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Audit the inference-throughput measurement on the real chip.
+
+Round-1 recorded 25.6k img/s for PraNet-V2 bs16 @352^2 bf16 — at ~25.8
+GFLOP/img that is 660 TFLOP/s on a chip whose bf16 peak is ~197, so the
+*measurement* must be wrong, not the model fast.  This script pins down the
+real number three ways:
+
+1. window scaling: total time for N=10/25/50/100 dispatches must grow
+   ~linearly with N if blocking semantics are sound;
+2. hard completion: a tiny D2H fetch of the last output (np.asarray) cannot
+   return before the device finished every queued step;
+3. per-iteration data dependency: feed step i's scalar sum back into step
+   i+1's input so steps cannot collapse/overlap illegitimately.
+
+Prints achieved img/s under each protocol plus implied TFLOP/s and MFU.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GFLOP_IMG_F32_EQ = None  # filled from HLO cost analysis below
+PEAK = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0,
+        "TPU v5": 459.0, "TPU v6 lite": 918.0}
+
+
+def main(batch_size=16, size=352):
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.utils.profiling import cost_analysis
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK.get(kind)
+    print(f"device: {kind} (peak bf16 ~{peak} TFLOP/s)")
+
+    model = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, size, size, 3), dtype=np.float32))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def fwd(v, x):
+        outs = model.apply(v, x)
+        return outs[0] + outs[1] + outs[2] + outs[3]
+
+    cost = cost_analysis(fwd, variables, x)
+    gflop_img = cost["flops"] / batch_size / 1e9
+    print(f"HLO flops: {gflop_img:.1f} GFLOP/img, "
+          f"bytes {cost['bytes_accessed']/1e9:.2f} GB/batch")
+
+    for _ in range(5):
+        out = fwd(variables, x)
+    jax.block_until_ready(out)
+
+    def report(tag, n, dt):
+        fps = batch_size * n / dt
+        tf = fps * gflop_img / 1e3
+        mfu = f", MFU {100*tf/peak:.1f}%" if peak else ""
+        print(f"  {tag:28s} N={n:4d}: {dt*1e3:8.1f} ms total, "
+              f"{fps:8.1f} img/s, {tf:6.1f} TFLOP/s{mfu}")
+
+    # 1. window scaling with block_until_ready
+    print("protocol A: sequential dispatch, block_until_ready(last)")
+    for n in (10, 25, 50, 100):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(variables, x)
+        jax.block_until_ready(out)
+        report("block_until_ready", n, time.perf_counter() - t0)
+
+    # 2. hard completion via D2H of the last output
+    print("protocol B: sequential dispatch, np.asarray(last) fetch")
+    for n in (10, 50):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fwd(variables, x)
+        _ = np.asarray(out[0, 0, 0])
+        report("D2H fetch", n, time.perf_counter() - t0)
+
+    # 3. serialized chain: out feeds the next input (no overlap possible)
+    @jax.jit
+    def fwd_chain(v, x, s):
+        outs = model.apply(v, x + 0.0 * s)
+        r = outs[0] + outs[1] + outs[2] + outs[3]
+        return r, jnp.mean(r)
+
+    s = jnp.float32(0)
+    r, s = fwd_chain(variables, x, s)
+    jax.block_until_ready(s)
+    print("protocol C: serialized data-dependent chain")
+    for n in (10, 50):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r, s = fwd_chain(variables, x, s)
+        jax.block_until_ready(s)
+        report("chained", n, time.perf_counter() - t0)
+
+    # 4. device-side truth: profiler trace of 10 steps
+    import glob
+    import os
+    trace_dir = "/tmp/bench_audit_trace"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(10):
+            out = fwd(variables, x)
+        jax.block_until_ready(out)
+    files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    print(f"profiler trace written: {files[:1]} (inspect XLA op time there)")
+
+
+if __name__ == "__main__":
+    main()

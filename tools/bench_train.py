@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Train-step throughput across the zoo with hard-fenced timing.
+
+Replaces the round-1 BENCH_TABLE train rows (measured before the fence fix;
+see tools/bench_audit.py for why block_until_ready timing was invalid here).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pranet2_tpu.utils.profiling import cost_analysis, fence
+
+
+def timeit_step(step, state, args, iters=20, warmup=3):
+    for _ in range(warmup):
+        state, loss = step(state, *args)
+    fence(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, *args)
+    fence(loss)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_binary(model_name="pranet_v2", bs=8, size=352, dtype=None):
+    from pranet2_tpu.losses import structure_loss
+    from pranet2_tpu.models import get_model
+
+    m = get_model(model_name, num_class=1, dtype=dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((bs, size, size, 3), dtype=np.float32))
+    gts = jnp.asarray((rng.random((bs, size, size, 1)) > 0.5)
+                      .astype(np.float32))
+    v = jax.jit(m.init)(jax.random.key(0), x)
+    tx = optax.chain(optax.clip(0.5), optax.adam(1e-4))
+
+    @jax.jit
+    def step(state, x, gts):
+        params, stats, opt = state
+
+        def lf(p):
+            o, u = m.apply({"params": p, "batch_stats": stats}, x, True,
+                           mutable=["batch_stats"])
+            return (sum(structure_loss(f, b, gts, 1 - gts)
+                        for f, b in zip(o[:4], o[4:])), u["batch_stats"])
+
+        (loss, ns), g = jax.value_and_grad(lf, has_aux=True)(params)
+        upd, opt2 = tx.update(g, opt, params)
+        return (optax.apply_updates(params, upd), ns, opt2), loss
+
+    state = (v["params"], v["batch_stats"], tx.init(v["params"]))
+    ms = timeit_step(step, state, (x, gts))
+    cost = cost_analysis(step, state, x, gts)
+    return ms, bs / (ms / 1e3), cost
+
+
+def bench_multiclass(model_name="emcad", bs=6, size=224, ncls=9):
+    from pranet2_tpu.losses import mutation_loss
+    from pranet2_tpu.models import get_model
+
+    kw = dict(num_classes=ncls, dual=True)
+    if model_name == "emcad":
+        kw["encoder"] = "pvt_v2_b2"
+    m = get_model({"emcad": "emcad", "merit": "merit_cascaded",
+                   "mist": "mist_cam"}[model_name], **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((bs, size, size, 1), dtype=np.float32))
+    lab = jnp.asarray(rng.integers(0, ncls, (bs, size, size)))
+    v = jax.jit(m.init, static_argnums=2)(jax.random.key(0), x, True)
+    tx = optax.adamw(1e-4, weight_decay=1e-4)
+
+    @jax.jit
+    def step(state, x, lab):
+        params, rest, opt = state
+
+        def lf(p):
+            out = m.apply({"params": p, **rest}, x, True,
+                          mutable=list(rest.keys()),
+                          rngs={"dropout": jax.random.key(0)})
+            o, upd = out
+            return mutation_loss(o[:4], lab, ncls, o[4:]), dict(upd)
+
+        (loss, new_rest), g = jax.value_and_grad(lf, has_aux=True)(params)
+        upd, opt2 = tx.update(g, opt, params)
+        return (optax.apply_updates(params, upd), new_rest, opt2), loss
+
+    rest = {k: v[k] for k in v if k != "params"}
+    state = (v["params"], rest, tx.init(v["params"]))
+    ms = timeit_step(step, state, (x, lab))
+    return ms, bs / (ms / 1e3)
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}")
+    for name, bs, dt in [("pranet_v2", 8, None), ("pranet_v2", 32, None),
+                         ("pranet_v2", 32, jnp.bfloat16),
+                         ("pvt_pranet_v2", 16, None)]:
+        ms, fps, cost = bench_binary(name, bs=bs, dtype=dt)
+        tag = "bf16" if dt is not None else "f32"
+        gb = cost["bytes_accessed"] / 1e9
+        print(f"{name:16s} bs={bs:3d} {tag}: {ms:7.2f} ms/step, "
+              f"{fps:7.1f} img/s, {cost['flops']/1e9:.0f} GFLOP, {gb:.1f} GB "
+              f"-> {gb/(ms/1e3):.0f} GB/s effective")
+    for name, bs, size in [("emcad", 6, 224), ("mist", 4, 224)]:
+        ms, fps = bench_multiclass(name, bs=bs, size=size)
+        print(f"{name:16s} bs={bs:3d} MUTATION dual: {ms:7.2f} ms/step, "
+              f"{fps:7.1f} img/s")
+
+
+if __name__ == "__main__":
+    main()
