@@ -35,14 +35,16 @@ def powerset(seq: Sequence[int]) -> list[list[int]]:
     return out
 
 
-def one_hot_bg(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+def one_hot_bg(labels: jnp.ndarray, num_classes: int,
+               dtype=jnp.float32) -> jnp.ndarray:
     """Per-class background mask: ``1 - one_hot(label)``, (N,H,W,C)."""
-    return 1.0 - jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    return 1.0 - jax.nn.one_hot(labels, num_classes, dtype=dtype)
 
 
 def softmax_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean softmax cross-entropy over all pixels (torch ``CrossEntropyLoss``)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ct = jnp.promote_types(logits.dtype, jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(ct), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
     return jnp.mean(nll)
 
@@ -54,10 +56,11 @@ def dice_loss(
     softmax: bool = True,
 ) -> jnp.ndarray:
     """Reference DiceLoss: batch-global per-class squared-denominator dice."""
-    x = logits.astype(jnp.float32)
+    ct = jnp.promote_types(logits.dtype, jnp.float32)
+    x = logits.astype(ct)
     if softmax:
         x = jax.nn.softmax(x, axis=-1)
-    target = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    target = jax.nn.one_hot(labels, num_classes, dtype=ct)
     smooth = 1e-5
     intersect = jnp.sum(x * target, axis=(0, 1, 2))
     z = jnp.sum(x * x, axis=(0, 1, 2))
@@ -68,7 +71,8 @@ def dice_loss(
 
 def bce_with_logits(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Mean BCE-with-logits (torch ``BCEWithLogitsLoss`` default reduction)."""
-    return jnp.mean(bce_logits(pred.astype(jnp.float32), target.astype(jnp.float32)))
+    ct = jnp.promote_types(pred.dtype, jnp.float32)
+    return jnp.mean(bce_logits(pred.astype(ct), target.astype(ct)))
 
 
 def supervision_subsets(n_maps: int, supervision: str = "mutation"):
@@ -104,11 +108,12 @@ def mutation_loss(
     subset axis — one fused pass, identical math.
     """
     subsets = supervision_subsets(len(fg_maps), supervision)
+    ct = jnp.promote_types(fg_maps[0].dtype, jnp.float32)
     sel = jnp.asarray(
         [[1.0 if i in s else 0.0 for i in range(len(fg_maps))]
-         for s in subsets], dtype=jnp.float32)          # (S, K) static 0/1
+         for s in subsets], dtype=ct)                   # (S, K) static 0/1
 
-    fg = jnp.stack([m.astype(jnp.float32) for m in fg_maps])   # (K,N,H,W,C)
+    fg = jnp.stack([m.astype(ct) for m in fg_maps])            # (K,N,H,W,C)
     iout = jnp.einsum("sk,k...->s...", sel, fg)                # (S,N,H,W,C)
 
     # batched CE over subsets
@@ -119,7 +124,7 @@ def mutation_loss(
 
     # batched reference DiceLoss (batch-global, squared denominator)
     probs = jax.nn.softmax(iout, axis=-1)
-    target = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    target = jax.nn.one_hot(labels, num_classes, dtype=ct)
     smooth = 1e-5
     intersect = jnp.einsum("snhwc,nhwc->sc", probs, target)
     z = jnp.sum(probs * probs, axis=(1, 2, 3))
@@ -129,10 +134,10 @@ def mutation_loss(
 
     if bg_maps is not None:
         lc1, lc2, lc3 = weights
-        bg = jnp.stack([m.astype(jnp.float32) for m in bg_maps])
+        bg = jnp.stack([m.astype(ct) for m in bg_maps])
         ibg = jnp.einsum("sk,k...->s...", sel, bg)
         bce = jnp.mean(
-            bce_logits(ibg, one_hot_bg(labels, num_classes)[None]),
+            bce_logits(ibg, one_hot_bg(labels, num_classes, ct)[None]),
             axis=(1, 2, 3, 4))
         per_subset = lc1 * ce + lc2 * dice + lc3 * bce
     else:
