@@ -46,7 +46,8 @@ def bench_binary(model_name="pranet_v2", bs=8, size=352, dtype=None):
 
         def lf(p):
             o, u = m.apply({"params": p, "batch_stats": stats}, x, True,
-                           mutable=["batch_stats"])
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.key(0)})
             return (sum(structure_loss(f, b, gts, 1 - gts)
                         for f, b in zip(o[:4], o[4:])), u["batch_stats"])
 
