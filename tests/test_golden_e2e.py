@@ -180,3 +180,67 @@ def test_metrics_match_reference_kernels(golden):
         for k in ("Rec", "Spe", "Dic", "Fm", "IoU", "Em"):
             np.testing.assert_allclose(ours[k], want[k], atol=1e-8,
                                        err_msg=f"{name}:{k}")
+
+
+# ---------------------------------------------------------------------------
+# V1 golden (different map selection: res2 only, MyTest_med.py:97-101)
+# ---------------------------------------------------------------------------
+
+
+def test_golden_v1_pixel_parity(tmp_path):
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    root = str(tmp_path)
+    ds_dir = _make_golden_dataset(root, rng)
+
+    mod = load_ref_module("binary_seg", "lib.PraNet_Res2Net")
+    torch.manual_seed(9)
+    with neutralized_loading():
+        ref = mod.PraNet(channel=32)
+    ckpt = os.path.join(root, "ref_v1.pth")
+    torch.save(ref.state_dict(), ckpt)
+
+    # reference path: V1 loads strict and uses res2 only
+    ref.eval()
+    ref_out = os.path.join(root, "ref_results")
+    os.makedirs(ref_out)
+    img_dir, gt_dir = os.path.join(ds_dir, "images"), os.path.join(ds_dir, "masks")
+    for fname in sorted(os.listdir(img_dir)):
+        img = Image.open(os.path.join(img_dir, fname)).convert("RGB")
+        img = img.resize((352, 352), Image.BILINEAR)
+        x = (np.asarray(img, np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        x = torch.from_numpy(np.moveaxis(x, -1, 0)[None].copy())
+        gt_name = fname.rsplit(".", 1)[0] + ".png"
+        gt = np.asarray(Image.open(os.path.join(gt_dir, gt_name)).convert("L"),
+                        np.float32)
+        with torch.no_grad():
+            _res5, _res4, _res3, res2 = ref(x)
+            res = F.interpolate(res2, size=gt.shape, mode="bilinear",
+                                align_corners=False).sigmoid().numpy().squeeze()
+        res = (res - res.min()) / (res.max() - res.min() + 1e-8)
+        Image.fromarray((res * 255).astype(np.uint8)).save(
+            os.path.join(ref_out, gt_name))
+
+    jax_root = os.path.join(root, "jax_results")
+    from pranet2_tpu.cli import test_binary
+
+    argv = ["test_binary", "--model", "pranet_v1", "--checkpoint", ckpt,
+            "--data_root", root, "--datasets", "Golden",
+            "--save_root", jax_root, "--batchsize", "4"]
+    old_argv = sys.argv
+    sys.argv = argv
+    try:
+        test_binary.main()
+    finally:
+        sys.argv = old_argv
+    jax_out = os.path.join(jax_root, "pranet_v1", "Golden")
+
+    names = sorted(os.listdir(ref_out))
+    assert names and names == sorted(os.listdir(jax_out))
+    for name in names:
+        r = np.asarray(Image.open(os.path.join(ref_out, name)), np.int16)
+        j = np.asarray(Image.open(os.path.join(jax_out, name)), np.int16)
+        diff = np.abs(r - j)
+        assert diff.max() <= 1, f"{name}: max uint8 diff {diff.max()}"
+        assert (diff > 0).mean() < 0.01, name
