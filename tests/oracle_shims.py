@@ -28,6 +28,7 @@ import os
 import sys
 import types
 
+import numpy as np
 import torch
 
 REF = "/root/reference"
@@ -127,6 +128,53 @@ def install_shims() -> None:
             "timm.models.helpers": helpers,
         })
 
+    # extra stand-ins for the reference's volumetric-eval utils
+    # (multiclass_seg/*/utils/utils.py imports; none are exercised on the
+    # code paths the oracle tests run, except medpy which is only the metric
+    # *readout* — shimmed with pranet2_tpu.evalx.volumetric, which is
+    # property-tested against an independent medpy-0.5.2 transcription in
+    # tests/test_volumetric_medpy.py, so the pipeline comparison it reads
+    # out is not circular).
+    def _empty(name, **attrs):
+        if name in sys.modules:
+            return
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+
+    try:
+        import medpy  # noqa: F401
+    except ImportError:
+        from pranet2_tpu.evalx import volumetric as _vol
+
+        medpy = types.ModuleType("medpy")
+        medpy.__path__ = []
+        metric_mod = types.ModuleType("medpy.metric")
+        binary_mod = types.ModuleType("medpy.metric.binary")
+        binary_mod.dc = lambda r, g: _vol.dice_coefficient(
+            np.atleast_1d(np.asarray(r)).astype(bool),
+            np.atleast_1d(np.asarray(g)).astype(bool))
+        binary_mod.jc = lambda r, g: _vol.jaccard(
+            np.atleast_1d(np.asarray(r)).astype(bool),
+            np.atleast_1d(np.asarray(g)).astype(bool))
+        binary_mod.hd95 = lambda r, g, **k: _vol.hd95(
+            np.asarray(r) > 0, np.asarray(g) > 0)
+        binary_mod.assd = lambda r, g, **k: _vol.assd(
+            np.asarray(r) > 0, np.asarray(g) > 0)
+        metric_mod.binary = binary_mod
+        medpy.metric = metric_mod
+        sys.modules.update({"medpy": medpy, "medpy.metric": metric_mod,
+                            "medpy.metric.binary": binary_mod})
+    _empty("seaborn")
+    _empty("segmentation_mask_overlay",
+           overlay_masks=lambda *a, **k: (_ for _ in ()).throw(
+               RuntimeError("overlay stub")))
+    _empty("SimpleITK")
+    _empty("thop", profile=lambda *a, **k: (0, 0),
+           clever_format=lambda *a, **k: ("0", "0"))
+    _empty("ptflops", get_model_complexity_info=lambda *a, **k: (0, 0))
+
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.__path__ = []
@@ -214,7 +262,11 @@ def load_ref_module(subrepo: str, modname: str):
     """
     install_shims()
     root = f"{REF}/{subrepo}"
-    for key in [k for k in sys.modules if k == "lib" or k.startswith("lib.")]:
+    # every reference sub-repo has top-level packages named 'lib' and
+    # 'utils' — purge both so imports bind to the requested sub-repo
+    for key in [k for k in sys.modules
+                if k in ("lib", "utils")
+                or k.startswith(("lib.", "utils."))]:
         del sys.modules[key]
     sys.path.insert(0, root)
     try:

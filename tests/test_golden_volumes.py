@@ -1,0 +1,110 @@
+"""Golden end-to-end volumetric inference parity vs the reference pipeline.
+
+Runs the reference's actual ``test_single_volume`` (the slice loop with
+scipy ``zoom(order=3)`` resize in / ``zoom(order=0)`` out, softmax+argmax,
+and the per-family dual-map quirk) against our ``train.multiclass
+.test_volumes`` with the same converted weights on the same synthetic
+ragged volumes.  Both families' quirks are exercised:
+
+* MERIT semantics (``MERIT/utils/utils.py:195-200``): dual output is
+  ``sum(P_fg[i] - P_bg[i])``  -> our ``mode='fg_minus_bg'``;
+* EMCAD/MIST test semantics (``EMCAD/utils/utils.py:184-190``): dual output
+  sums fg only -> our ``mode='fg_only'``.
+
+The medpy readout on the reference side is shimmed with
+``pranet2_tpu.evalx.volumetric`` (oracle_shims) — not circular for this
+test's purpose: the metric is just the readout of the *prediction volumes*,
+whose pipeline (zoom/argmax/slice handling) is what differs between the two
+implementations; the metric implementation itself is property-tested against
+an independent medpy transcription elsewhere.
+"""
+
+import contextlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from oracle_shims import load_ref_module, neutralized_loading, to_numpy_sd
+from pranet2_tpu.models import get_model
+from pranet2_tpu.train.multiclass import test_volumes as run_test_volumes
+from pranet2_tpu.utils.torch_convert import convert_state_dict, emcad_key_map
+
+N_CLS = 4
+PATCH = 64
+
+
+@contextlib.contextmanager
+def cpu_cuda():
+    """Reference eval code hard-codes ``.cuda()``; make it a no-op."""
+    t_cuda, m_cuda = torch.Tensor.cuda, torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda, torch.nn.Module.cuda = t_cuda, m_cuda
+
+
+class _ListDataset:
+    def __init__(self, vols):
+        self.vols = vols
+
+    def __len__(self):
+        return len(self.vols)
+
+    def __getitem__(self, i):
+        return self.vols[i]
+
+    def case_name(self, i):
+        return f"case{i}"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mod = load_ref_module("multiclass_seg/EMCAD", "lib.networks")
+    torch.manual_seed(3)
+    with neutralized_loading():
+        ref = mod.EMCADNet(num_classes=N_CLS, encoder="pvt_v2_b0",
+                           activation="relu", pretrain=False, dual=True)
+    ref.eval()
+    ours = get_model("emcad", num_classes=N_CLS, encoder="pvt_v2_b0",
+                     activation="relu", dual=True)
+    fvars = convert_state_dict(to_numpy_sd(ref), emcad_key_map("pvt_v2_b0"))
+
+    rng = np.random.default_rng(11)
+    vols = []
+    for d, h, w in [(4, 40, 52), (3, 64, 64)]:  # ragged + exact-patch-size
+        img = rng.random((d, h, w)).astype(np.float32)
+        lab = rng.integers(0, N_CLS, (d, h, w)).astype(np.int64)
+        vols.append((img, lab))
+    return ref, ours, fvars, vols
+
+
+def _reference_metrics(ref, vols, which: str):
+    utils = load_ref_module(f"multiclass_seg/{which}", "utils.utils")
+    rows = []
+    with cpu_cuda():
+        for img, lab in vols:
+            m = utils.test_single_volume(
+                torch.from_numpy(img)[None], torch.from_numpy(lab)[None],
+                ref, classes=N_CLS, patch_size=[PATCH, PATCH], use_dual=True)
+            rows.append(m)
+    return np.asarray(rows, np.float64)
+
+
+@pytest.mark.parametrize("which,mode", [("MERIT", "fg_minus_bg"),
+                                        ("EMCAD", "fg_only")])
+def test_volume_pipeline_parity(setup, which, mode):
+    ref, ours, fvars, vols = setup
+    want = _reference_metrics(ref, vols, which)
+    got, names = run_test_volumes(
+        ours, fvars, _ListDataset(vols), N_CLS,
+        patch_size=(PATCH, PATCH), mode=mode)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    # the prediction volumes must agree voxel-wise up to f32 argmax ties;
+    # at random init a handful of flips is possible — metrics must agree to
+    # well under a percent of dice
+    np.testing.assert_allclose(got, want, atol=5e-3,
+                               err_msg=f"{which}/{mode}")
