@@ -38,13 +38,7 @@ def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50,
         outs = model.apply(v, x)
         return outs[0] + outs[1] + outs[2] + outs[3]
 
-    def fence(o):
-        # HARD completion barrier: a D2H fetch of one element cannot return
-        # before the device finished every queued step.  Over the remote
-        # (axon) tunnel ``block_until_ready`` returns at enqueue-ack, which
-        # inflated round-1 numbers ~17x (tools/bench_audit.py) — never trust
-        # it for timing here.
-        return np.asarray(o[0, 0, 0])
+    from pranet2_tpu.utils.profiling import fence
 
     for _ in range(warmup):  # compile + settle the device/tunnel
         out = fwd(variables, x)

@@ -28,31 +28,13 @@ REFERENCE_FPS = {  # PyTorch baseline, bs 1/4/8/16 (jittor/README.md)
     "pvt_pranet_v2": (29, 130, 241, 493),
 }
 
-# published peak dense bf16 TFLOP/s per chip (for MFU bookkeeping)
-PEAK_BF16_TFLOPS = {
-    "TPU v4": 275.0,
-    "TPU v5 lite": 197.0,   # v5e
-    "TPU v5e": 197.0,
-    "TPU v5": 459.0,        # v5p
-    "TPU v5p": 459.0,
-    "TPU v6 lite": 918.0,   # v6e / Trillium
-    "TPU v6e": 918.0,
-}
-
-
-def device_peak_tflops() -> tuple[str, float | None]:
-    import jax
-
-    kind = jax.devices()[0].device_kind
-    return kind, PEAK_BF16_TFLOPS.get(kind)
-
-
 def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
                 windows: int = 3, warmup: int = 5, with_flops: bool = True):
     import jax
     import jax.numpy as jnp
 
     from pranet2_tpu.models import get_model
+    from pranet2_tpu.utils.profiling import cost_analysis, fence
 
     dt = jnp.bfloat16 if dtype == "bfloat16" else None
     kwargs = {"num_class": 1} if name.endswith("_v2") else {}
@@ -69,12 +51,6 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
         def fwd(v, x):
             return model.apply(v, x)
 
-        def fence(o):
-            # hard completion barrier: block_until_ready returns at
-            # enqueue-ack over the remote tunnel (see tools/bench_audit.py)
-            first = jax.tree_util.tree_leaves(o)[0]
-            return np.asarray(first.ravel()[0])
-
         for _ in range(warmup):
             out = fwd(variables, x)
         fence(out)
@@ -88,10 +64,9 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
         gflop_img = None
         if with_flops:
             try:
-                from pranet2_tpu.utils.profiling import cost_analysis
-
                 cost = cost_analysis(fwd, variables, x)
-                gflop_img = cost["flops"] / bs / 1e9
+                if cost["flops"] and cost["flops"] > 0:
+                    gflop_img = cost["flops"] / bs / 1e9
             except Exception:
                 pass
         results.append(dict(best=max(fps), median=statistics.median(fps),
@@ -100,6 +75,8 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
 
 
 def main():
+    from pranet2_tpu.utils.profiling import device_peak_tflops
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--models", nargs="+",
                    default=["pranet_v1", "pvt_pranet_v1",

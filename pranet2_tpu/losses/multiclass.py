@@ -114,7 +114,11 @@ def mutation_loss(
          for s in subsets], dtype=ct)                   # (S, K) static 0/1
 
     fg = jnp.stack([m.astype(ct) for m in fg_maps])            # (K,N,H,W,C)
-    iout = jnp.einsum("sk,k...->s...", sel, fg)                # (S,N,H,W,C)
+    # precision=HIGHEST: default-precision einsum rounds f32 operands to
+    # bf16 on the MXU, breaking exact parity with the reference's direct
+    # additions (K=4 contraction — cost is negligible)
+    hi = jax.lax.Precision.HIGHEST
+    iout = jnp.einsum("sk,k...->s...", sel, fg, precision=hi)  # (S,N,H,W,C)
 
     # batched CE over subsets
     logp = jax.nn.log_softmax(iout, axis=-1)
@@ -126,7 +130,7 @@ def mutation_loss(
     probs = jax.nn.softmax(iout, axis=-1)
     target = jax.nn.one_hot(labels, num_classes, dtype=ct)
     smooth = 1e-5
-    intersect = jnp.einsum("snhwc,nhwc->sc", probs, target)
+    intersect = jnp.einsum("snhwc,nhwc->sc", probs, target, precision=hi)
     z = jnp.sum(probs * probs, axis=(1, 2, 3))
     y = jnp.sum(target * target, axis=(0, 1, 2))
     dice = jnp.mean(1.0 - (2.0 * intersect + smooth) / (z + y[None] + smooth),
@@ -135,7 +139,7 @@ def mutation_loss(
     if bg_maps is not None:
         lc1, lc2, lc3 = weights
         bg = jnp.stack([m.astype(ct) for m in bg_maps])
-        ibg = jnp.einsum("sk,k...->s...", sel, bg)
+        ibg = jnp.einsum("sk,k...->s...", sel, bg, precision=hi)
         bce = jnp.mean(
             bce_logits(ibg, one_hot_bg(labels, num_classes, ct)[None]),
             axis=(1, 2, 3, 4))

@@ -64,13 +64,14 @@ def _dw_kernel(x_ref, w_ref, o_ref):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _pick_cblock(h: int, w: int, c: int) -> int | None:
+def _pick_cblock(h: int, w: int, c: int, itemsize: int) -> int | None:
     """Largest channel block (multiple of 128) keeping VMEM use sane."""
     for cb in (512, 256, 128):
         if c % cb:
             continue
-        # in + out + f32 accumulator + padded copy, double-buffered in/out
-        vmem = (2 * 2 * h * w * cb * 2) + 2 * (h * w * cb * 4)
+        # double-buffered in + out blocks at the input itemsize, plus the
+        # f32 padded copy and accumulator
+        vmem = (2 * 2 * h * w * cb * itemsize) + 2 * (h * w * cb * 4)
         if vmem <= 12 * 1024 * 1024:
             return cb
     return None
@@ -88,7 +89,8 @@ def depthwise_conv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def _fwd_impl(x, w):
     n, h, width, c = x.shape
-    cb = _pick_cblock(h, width, c) if _HAS_PLTPU else None
+    cb = (_pick_cblock(h, width, c, x.dtype.itemsize)
+          if _HAS_PLTPU else None)
     if cb is None or jax.default_backend() != "tpu":
         return _xla_dwconv(x, w)
     grid = (n, c // cb)

@@ -167,6 +167,10 @@ def train(cfg: BinaryTrainConfig, mesh=None, dataset=None, eval_fn=None,
             if i % cfg.log_every == 0:
                 log(f"epoch {epoch} step {i}/{len(loader)} "
                     f"loss {float(loss):.4f}")
+        if n_img == 0:
+            raise RuntimeError(
+                f"epoch {epoch}: training dataset produced no batches "
+                f"(check train_path / batch_size)")
         float(loss)  # hard fence: epoch timing must include device completion
         dt = time.time() - t0
         history.append(dict(epoch=epoch, sec=dt,

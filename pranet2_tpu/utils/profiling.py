@@ -20,16 +20,37 @@ import jax
 import numpy as np
 
 
+# published peak dense bf16 TFLOP/s per device_kind (for MFU bookkeeping)
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def device_peak_tflops() -> tuple[str, float | None]:
+    kind = jax.devices()[0].device_kind
+    return kind, PEAK_BF16_TFLOPS.get(kind)
+
+
 def cost_analysis(fn, *args) -> dict:
-    """FLOPs / bytes accessed of the jitted ``fn(*args)`` from compiled HLO."""
-    lowered = jax.jit(fn).lower(*args)
-    compiled = lowered.compile()
-    stats = compiled.cost_analysis()
+    """FLOPs / bytes accessed of the jitted ``fn(*args)`` from compiled HLO.
+
+    Already-jitted functions are lowered directly (cache hit — no second
+    compile); raw callables are wrapped in ``jax.jit`` first.  Values are
+    ``None`` when the backend does not report them.
+    """
+    jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
+    stats = jfn.lower(*args).compile().cost_analysis()
     if isinstance(stats, list):  # some backends return a list per-computation
         stats = stats[0]
     return {
-        "flops": stats.get("flops", -1.0),
-        "bytes_accessed": stats.get("bytes accessed", -1.0),
+        "flops": stats.get("flops"),
+        "bytes_accessed": stats.get("bytes accessed"),
     }
 
 

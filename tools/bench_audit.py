@@ -24,17 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-GFLOP_IMG_F32_EQ = None  # filled from HLO cost analysis below
-PEAK = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v4": 275.0,
-        "TPU v5": 459.0, "TPU v6 lite": 918.0}
-
-
 def main(batch_size=16, size=352):
     from pranet2_tpu.models import get_model
-    from pranet2_tpu.utils.profiling import cost_analysis
+    from pranet2_tpu.utils.profiling import cost_analysis, device_peak_tflops
 
-    kind = jax.devices()[0].device_kind
-    peak = PEAK.get(kind)
+    kind, peak = device_peak_tflops()
     print(f"device: {kind} (peak bf16 ~{peak} TFLOP/s)")
 
     model = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
