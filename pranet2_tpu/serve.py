@@ -54,37 +54,56 @@ class BinaryPredictor:
         x = jnp.zeros((self.batch_size, self.testsize, self.testsize, 3))
         jax.block_until_ready(self._fwd(self.variables, x))
 
+    def _preprocess(self, chunk) -> np.ndarray:
+        from PIL import Image
+
+        batch = np.zeros(
+            (self.batch_size, self.testsize, self.testsize, 3), np.float32
+        )
+        for i, im in enumerate(chunk):
+            pil = Image.fromarray(np.asarray(im))
+            batch[i] = preprocess_image(pil.convert("RGB"), self.testsize)
+        return batch
+
+    def _postprocess(self, result: np.ndarray, chunk):
+        from scipy.special import expit
+
+        from pranet2_tpu.ops.resize import resize_bilinear_np
+
+        for r, im in zip(result[: len(chunk)], chunk):
+            h, w = np.asarray(im).shape[:2]
+            if self.exact_postproc:
+                x = resize_bilinear_np(r, (h, w))[:, :, 0]
+                x = expit(x)
+                x = (x - x.min()) / (x.max() - x.min() + 1e-8)
+                yield (x * 255).astype(np.uint8)
+            else:
+                x = resize_bilinear_np(r.astype(np.float32), (h, w))[:, :, 0]
+                yield np.clip(x, 0, 255).astype(np.uint8)
+
+    def stream(self, images):
+        """Pipelined prediction: yields uint8 masks in input order.
+
+        JAX dispatch is asynchronous, so batch i computes on the TPU while
+        batch i+1 is being decoded/normalized on the host and batch i-1's
+        output is post-processed — a 1-deep software pipeline with no
+        threads; the D2H fetch of batch i is the synchronization point.
+        """
+        prev_out = prev_chunk = None
+        for start in range(0, len(images), self.batch_size):
+            chunk = images[start:start + self.batch_size]
+            dev_out = self._fwd(self.variables,
+                                jnp.asarray(self._preprocess(chunk)))
+            if prev_out is not None:
+                yield from self._postprocess(np.asarray(prev_out), prev_chunk)
+            prev_out, prev_chunk = dev_out, chunk
+        if prev_out is not None:
+            yield from self._postprocess(np.asarray(prev_out), prev_chunk)
+
     def __call__(self, images) -> list[np.ndarray]:
         """images: list of HxWx3 uint8 arrays (native sizes).
 
         Returns uint8 masks at each image's native size (sigmoid + min-max
         normalized, the reference's export semantics).
         """
-        from PIL import Image
-
-        out: list[np.ndarray] = []
-        for start in range(0, len(images), self.batch_size):
-            chunk = images[start:start + self.batch_size]
-            batch = np.zeros(
-                (self.batch_size, self.testsize, self.testsize, 3), np.float32
-            )
-            for i, im in enumerate(chunk):
-                pil = Image.fromarray(np.asarray(im))
-                batch[i] = preprocess_image(pil.convert("RGB"), self.testsize)
-            from scipy.special import expit
-
-            from pranet2_tpu.ops.resize import resize_bilinear_np
-
-            result = np.asarray(self._fwd(self.variables, jnp.asarray(batch)))
-            result = result[: len(chunk)]
-            for r, im in zip(result, chunk):
-                h, w = np.asarray(im).shape[:2]
-                if self.exact_postproc:
-                    x = resize_bilinear_np(r, (h, w))[:, :, 0]
-                    x = expit(x)
-                    x = (x - x.min()) / (x.max() - x.min() + 1e-8)
-                    out.append((x * 255).astype(np.uint8))
-                else:
-                    x = resize_bilinear_np(r.astype(np.float32), (h, w))[:, :, 0]
-                    out.append(np.clip(x, 0, 255).astype(np.uint8))
-        return out
+        return list(self.stream(images))

@@ -42,3 +42,23 @@ def test_training_reproducible(rng):
         results.append((float(loss), np.asarray(jax.tree.leaves(s.params)[0])))
     assert results[0][0] == results[1][0]
     np.testing.assert_array_equal(results[0][1], results[1][1])
+
+
+def test_stream_matches_batch_call(rng):
+    """The pipelined stream() must yield exactly __call__'s outputs, in
+    order, across multiple partial batches."""
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.serve import BinaryPredictor
+
+    model = get_model("pranet_v2", num_class=1)
+    v = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    pred = BinaryPredictor("pranet_v2", v, batch_size=3, testsize=64)
+    images = [
+        (rng.random((40 + i, 50 + i, 3)) * 255).astype(np.uint8)
+        for i in range(7)  # 3 + 3 + partial 1
+    ]
+    batch_out = pred(images)
+    stream_out = list(pred.stream(images))
+    assert len(stream_out) == len(batch_out) == 7
+    for a, b in zip(stream_out, batch_out):
+        np.testing.assert_array_equal(a, b)
