@@ -16,7 +16,11 @@ What the Pallas kernel buys (measured on the v5e, fenced protocol):
   speed-of-light for most shapes here ((16,44,44,1024): 0.33 ms = ~770
   GB/s); only (16,88,88,512)-like shapes are ~2.5x off, and this kernel ties
   rather than beats XLA there (the 9-tap VMEM slicing costs what the XLA
-  layout copy costs).  Models therefore keep the XLA path by default.
+  layout copy costs).  A fused dwconv+bias+GELU variant was also measured
+  (PVTv2's exact MLP chain, polynomial erf since Mosaic lacks the
+  primitive): it *loses* to XLA's pipeline (2.28 vs 1.71 ms at the stage-1
+  shape — the erf temporaries force H-segmentation that defeats the fusion
+  win).  Models therefore keep the XLA path by default.
 
 Grid over (batch, channel-blocks) — the op is embarrassingly
 channel-parallel; halos are materialized in-register per block, the output

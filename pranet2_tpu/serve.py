@@ -22,19 +22,37 @@ class BinaryPredictor:
     """Batched PraNet predictor: PIL/ndarray images in, uint8 masks out."""
 
     def __init__(self, model_name: str, variables, batch_size: int = 16,
-                 testsize: int = 352, dtype=None, exact_postproc: bool = True):
+                 testsize: int = 352, dtype=None, exact_postproc: bool = True,
+                 mesh=None):
         """``exact_postproc=True`` reproduces the reference export exactly
         (resize logits to native size, then sigmoid + min-max) — requires
         transferring f32 logits off device.  ``False`` runs sigmoid + min-max
         + uint8 on the TPU at test size and resizes the uint8 map on host —
-        4x less device->host traffic, visually equivalent masks."""
+        4x less device->host traffic, visually equivalent masks.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving —
+        parameters are replicated and each batch sharded over the 'data'
+        axis; XLA runs the forward data-parallel over ICI.  ``batch_size``
+        must divide evenly over the axis."""
         self.v2 = model_name.endswith("_v2")
         kwargs = {"num_class": 1} if self.v2 else {}
         self.model = get_model(model_name, dtype=dtype, **kwargs)
-        self.variables = variables
         self.batch_size = batch_size
         self.testsize = testsize
         self.exact_postproc = exact_postproc
+        self.mesh = mesh
+        self._in_sharding = None
+        if mesh is not None:
+            from pranet2_tpu.parallel import batch_sharding, shard_params
+
+            n_dev = int(np.prod(mesh.devices.shape))
+            if batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the "
+                    f"{n_dev}-device mesh")
+            variables = shard_params(variables, mesh)
+            self._in_sharding = batch_sharding(mesh)
+        self.variables = variables
 
         @jax.jit
         def fwd(v, x):
@@ -92,8 +110,10 @@ class BinaryPredictor:
         prev_out = prev_chunk = None
         for start in range(0, len(images), self.batch_size):
             chunk = images[start:start + self.batch_size]
-            dev_out = self._fwd(self.variables,
-                                jnp.asarray(self._preprocess(chunk)))
+            batch = jnp.asarray(self._preprocess(chunk))
+            if self._in_sharding is not None:
+                batch = jax.device_put(batch, self._in_sharding)
+            dev_out = self._fwd(self.variables, batch)
             if prev_out is not None:
                 yield from self._postprocess(np.asarray(prev_out), prev_chunk)
             prev_out, prev_chunk = dev_out, chunk

@@ -62,3 +62,22 @@ def test_stream_matches_batch_call(rng):
     assert len(stream_out) == len(batch_out) == 7
     for a, b in zip(stream_out, batch_out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_predictor_mesh_sharded_matches_single(rng):
+    """Multi-chip serving: 8-way data-parallel mesh == single-device outputs."""
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.parallel import make_mesh
+    from pranet2_tpu.serve import BinaryPredictor
+
+    model = get_model("pranet_v2", num_class=1)
+    v = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    images = [
+        (rng.random((48, 56, 3)) * 255).astype(np.uint8) for _ in range(10)
+    ]
+    single = BinaryPredictor("pranet_v2", v, batch_size=8, testsize=64)
+    sharded = BinaryPredictor("pranet_v2", v, batch_size=8, testsize=64,
+                              mesh=make_mesh())
+    out_a, out_b = single(images), sharded(images)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_array_equal(a, b)
