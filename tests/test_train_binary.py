@@ -148,3 +148,49 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_equals_uninterrupted(tmp_path, rng):
+    """Full-state checkpointing: train 2 steps, save, restore into a fresh
+    state, train 2 more — bit-identical to 4 uninterrupted steps (validates
+    that opt_state/BN stats/step are all in the checkpoint, a capability the
+    reference's weights-only .pth saves lack)."""
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.train import create_train_state, make_optimizer
+    from pranet2_tpu.train.binary import make_train_step
+    from pranet2_tpu.utils.checkpoint import restore_state, save_state
+
+    model = get_model("pranet_v2", num_class=1)
+    imgs = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    gts = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.5).astype(np.float32))
+    step = make_train_step(model, target_size=64, rescale=False)
+
+    def fresh():
+        tx = make_optimizer(1e-4, clip_value=0.5)
+        return create_train_state(model, jax.random.key(3), imgs, tx)
+
+    # uninterrupted: 4 steps
+    s = fresh()
+    for _ in range(4):
+        s, _, _ = step(s, imgs, gts)
+
+    # interrupted: 2 steps, save, restore into a fresh skeleton, 2 steps
+    r = fresh()
+    for _ in range(2):
+        r, _, _ = step(r, imgs, gts)
+    save_state(str(tmp_path / "ck"), r)
+    resumed = restore_state(str(tmp_path / "ck"), fresh())
+    assert int(resumed.step) == 2
+    for _ in range(2):
+        resumed, _, _ = step(resumed, imgs, gts)
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s.params),
+        jax.tree_util.tree_leaves_with_path(resumed.params),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=jax.tree_util.keystr(pa))
+    for a, b in zip(jax.tree.leaves(s.batch_stats),
+                    jax.tree.leaves(resumed.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
