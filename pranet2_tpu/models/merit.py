@@ -191,6 +191,30 @@ class MERITParallel(nn.Module):
         return tuple(a + b for a, b in zip(maps1, maps2))
 
 
+class MaxViTSeg(nn.Module):
+    """Plain MaxViT segmentation head: stage-4 feature -> 1x1 head -> x32
+    upsample, one map (``MERIT/lib/networks.py:62-107`` — the zoo's minimal
+    member; no reference CLI wires it)."""
+
+    num_classes: int = 1
+    img_size: int = 224
+    model_scale: str = "small"
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        if x.shape[-1] == 1:
+            x = _GrayStem(dt, name="gray")(x, train)
+        n, h, w, _ = x.shape
+        bb256, bb224 = _SCALE_BACKBONES[self.model_scale]
+        name = bb224 if self.img_size == 224 else bb256
+        f = MaxxVit(**MAXVIT_CONFIGS[name], dtype=dt, name="backbone")(x, train)
+        p = nn.Conv(self.num_classes, (1, 1), dtype=dt,
+                    param_dtype=jnp.float32, name="out_head")(f[3])
+        return resize_bilinear(p, (h, w))
+
+
 class MaxViT4Out(nn.Module):
     """Single backbone + 4 direct prediction heads, no decoder
     (``MERIT/lib/networks.py:164-220``)."""
@@ -250,6 +274,11 @@ class MaxViTCascade(nn.Module):
                         name=f"out_head{i}")(feat)
             maps.append(resize_bilinear(p, (h, w)))
         return tuple(maps)
+
+
+@register_model("maxvit_seg")
+def _maxvit_seg(**kw):
+    return MaxViTSeg(**kw)
 
 
 @register_model("maxvit4out")

@@ -156,3 +156,13 @@ def test_maxvit_drop_path(rng):
     assert big > 10 * small, (big, small)
     # fixed rng: bitwise reproducible (same executable)
     np.testing.assert_array_equal(train_out(md, 1), train_out(md, 1))
+
+
+def test_maxvit_seg_contract(rng):
+    """Plain MaxViT single-map model (networks.py:62-107)."""
+    m = get_model("maxvit_seg", num_classes=4, img_size=224,
+                  model_scale="tiny")
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 1), dtype=np.float32))
+    v = m.init(jax.random.key(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 64, 64, 4)
