@@ -342,36 +342,39 @@ def maxvit_key_map(prefix: str) -> tuple[str, ...] | None:
     return None
 
 
+def _cascade_member_map(rest: str) -> tuple[str, ...] | None:
+    """CASCADE decoder member names (shared by MERIT_* and MaxViT_CASCADE)."""
+    if rest == "Conv_1x1":
+        return ("Conv_1x1",)
+    m = re.fullmatch(r"ConvBlock(\d)\.conv\.(\d)", rest)
+    if m:  # conv_block Sequential: conv indices 0/3, bn indices 1/4
+        lvl, idx = m.groups()
+        name = f"conv{idx}" if idx in ("0", "3") else f"bn{idx}"
+        return (f"ConvBlock{lvl}", name)
+    m = re.fullmatch(r"ConvBlock(\d)_(fg|bg)\.(conv|bn)", rest)
+    if m:
+        return (f"ConvBlock{m.group(1)}_{m.group(2)}", m.group(3))
+    m = re.fullmatch(r"Up(\d)\.up\.(\d)", rest)
+    if m:  # up_conv Sequential: 0 upsample, 1 conv, 2 bn
+        lvl, idx = m.groups()
+        return (f"Up{lvl}", "conv" if idx == "1" else "bn")
+    m = re.fullmatch(r"AG(\d)\.(W_g|W_x|psi)\.(\d)", rest)
+    if m:
+        lvl, part, idx = m.groups()
+        return (f"AG{lvl}", part if idx == "0" else f"{part}_bn")
+    m = re.fullmatch(r"CA(\d)\.(fc[12])", rest)
+    if m:
+        return (f"CA{m.group(1)}", m.group(2))
+    if rest == "SA.conv1":
+        return ("SA", "conv1")
+    return None
+
+
 def merit_key_map() -> KeyMap:
     """Key map for full MERIT checkpoints (Cascaded/Parallel, dual or not)."""
     bb1 = _with_prefix(maxvit_key_map, "backbone1", "backbone1")
     bb2 = _with_prefix(maxvit_key_map, "backbone2", "backbone2")
-
-    def cascade(rest: str) -> tuple[str, ...] | None:
-        if rest == "Conv_1x1":
-            return ("Conv_1x1",)
-        m = re.fullmatch(r"ConvBlock(\d)\.conv\.(\d)", rest)
-        if m:  # conv_block Sequential: conv indices 0/3, bn indices 1/4
-            lvl, idx = m.groups()
-            name = f"conv{idx}" if idx in ("0", "3") else f"bn{idx}"
-            return (f"ConvBlock{lvl}", name)
-        m = re.fullmatch(r"ConvBlock(\d)_(fg|bg)\.(conv|bn)", rest)
-        if m:
-            return (f"ConvBlock{m.group(1)}_{m.group(2)}", m.group(3))
-        m = re.fullmatch(r"Up(\d)\.up\.(\d)", rest)
-        if m:  # up_conv Sequential: 0 upsample, 1 conv, 2 bn
-            lvl, idx = m.groups()
-            return (f"Up{lvl}", "conv" if idx == "1" else "bn")
-        m = re.fullmatch(r"AG(\d)\.(W_g|W_x|psi)\.(\d)", rest)
-        if m:
-            lvl, part, idx = m.groups()
-            return (f"AG{lvl}", part if idx == "0" else f"{part}_bn")
-        m = re.fullmatch(r"CA(\d)\.(fc[12])", rest)
-        if m:
-            return (f"CA{m.group(1)}", m.group(2))
-        if rest == "SA.conv1":
-            return ("SA", "conv1")
-        return None
+    cascade = _cascade_member_map
 
     def f(prefix: str):
         r = bb1(prefix) or bb2(prefix)
@@ -386,6 +389,31 @@ def merit_key_map() -> KeyMap:
             return (f"out_head{m.group(1)}{m.group(2) or ''}",)
         if prefix.startswith("decoder."):
             return _prepend(cascade(prefix[len("decoder."):]), "decoder")
+        return None
+
+    return f
+
+
+def maxvit_single_key_map() -> KeyMap:
+    """Key map for the single-backbone MaxViT zoo (``MaxViT``, ``MaxViT4Out``,
+    ``MaxViT_CASCADE`` — MERIT/lib/networks.py:62-350): 'backbone.*',
+    'conv.{0,1}' grayscale stem, 'out_head[1-4]?', optional CASCADE decoder."""
+    bb = _with_prefix(maxvit_key_map, "backbone", "backbone")
+
+    def f(prefix: str):
+        r = bb(prefix)
+        if r is not None:
+            return r
+        if prefix == "conv.0":
+            return ("gray", "stem_conv")
+        if prefix == "conv.1":
+            return ("gray", "stem_bn")
+        m = re.fullmatch(r"out_head(\d?)", prefix)
+        if m:
+            return (f"out_head{m.group(1)}",)
+        if prefix.startswith("decoder."):
+            return _prepend(_cascade_member_map(prefix[len("decoder."):]),
+                            "decoder")
         return None
 
     return f

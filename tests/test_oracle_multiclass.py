@@ -204,3 +204,57 @@ def test_cbam_se_oracle_parity(rng):
             },
         }}, jx)
     np.testing.assert_allclose(np.asarray(got), nchw_to_nhwc(want), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# single-backbone MaxViT zoo (networks.py:62-350)
+# ---------------------------------------------------------------------------
+
+
+def _maxvit_zoo_parity(ref, ours, x, n_maps, atol=2e-3):
+    from pranet2_tpu.utils.torch_convert import maxvit_single_key_map
+
+    _parity(ref, ours, maxvit_single_key_map(), x, n_maps, atol=atol)
+
+
+def test_maxvit_seg_oracle_parity(rng):
+    from pranet2_tpu.utils.torch_convert import (
+        convert_state_dict, maxvit_single_key_map,
+    )
+
+    mod = load_ref_module("multiclass_seg/MERIT", "lib.networks")
+    torch.manual_seed(6)
+    with neutralized_loading():
+        ref = mod.MaxViT(n_class=4, img_size=224, model_scale="tiny")
+    ours = get_model("maxvit_seg", num_classes=4, img_size=224,
+                     model_scale="tiny")
+    x = rng.standard_normal((1, 1, 224, 224), dtype=np.float32)  # gray stem
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))  # single tensor, not a tuple
+    fvars = convert_state_dict(to_numpy_sd(ref), maxvit_single_key_map())
+    got = ours.apply(fvars, jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(np.asarray(got), nchw_to_nhwc(want),
+                               atol=2e-3, rtol=5e-3)
+
+
+def test_maxvit4out_oracle_parity(rng):
+    mod = load_ref_module("multiclass_seg/MERIT", "lib.networks")
+    torch.manual_seed(7)
+    with neutralized_loading():
+        ref = mod.MaxViT4Out(n_class=4, img_size=224, model_scale="tiny")
+    ours = get_model("maxvit4out", num_classes=4, img_size=224,
+                     model_scale="tiny")
+    x = rng.standard_normal((1, 3, 224, 224), dtype=np.float32)
+    _maxvit_zoo_parity(ref, ours, x, 4)
+
+
+def test_maxvit_cascade_oracle_parity(rng):
+    mod = load_ref_module("multiclass_seg/MERIT", "lib.networks")
+    torch.manual_seed(8)
+    with neutralized_loading():
+        ref = mod.MaxViT_CASCADE(n_class=4, img_size=224, model_scale="tiny")
+    ours = get_model("maxvit_cascade", num_classes=4, img_size=224,
+                     model_scale="tiny")
+    x = rng.standard_normal((1, 3, 224, 224), dtype=np.float32)
+    _maxvit_zoo_parity(ref, ours, x, 4)
