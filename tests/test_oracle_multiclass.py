@@ -258,3 +258,28 @@ def test_maxvit_cascade_oracle_parity(rng):
                      model_scale="tiny")
     x = rng.standard_normal((1, 3, 224, 224), dtype=np.float32)
     _maxvit_zoo_parity(ref, ours, x, 4)
+
+
+def test_merit_parallel_dual_oracle_parity(rng):
+    """MERIT_Parallel_dual (networks.py:514-614): two backbones at their own
+    scales, shared dual decoder, summed maps."""
+    mod = load_ref_module("multiclass_seg/MERIT", "lib.networks")
+    torch.manual_seed(9)
+    with neutralized_loading():
+        ref = mod.MERIT_Parallel_dual(n_class=4, model_scale="tiny")
+    ours = get_model("merit_parallel", num_classes=4, model_scale="tiny",
+                     dual=True)
+    x = rng.standard_normal((1, 3, 256, 256), dtype=np.float32)
+    _parity(ref, ours, merit_key_map(), x, 8, atol=2e-3)
+
+
+def test_mist_cam_single_oracle_parity(rng):
+    """MIST_CAM non-dual path (networks.py:115-132): CASCADE-style heads."""
+    mod = load_ref_module("multiclass_seg/MIST", "lib.networks")
+    torch.manual_seed(10)
+    with neutralized_loading():
+        ref = mod.MIST_CAM(n_class=4, model_scale="small", dual=False)
+    ours = get_model("mist_cam", num_classes=4, dual=False)
+    x = rng.standard_normal((1, 3, 256, 256), dtype=np.float32)
+    with _deterministic_torch_dropout():
+        _parity(ref, ours, mist_key_map(), x, 4, split_mha=True, atol=2e-3)
