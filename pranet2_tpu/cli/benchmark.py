@@ -49,9 +49,17 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
 
         @jax.jit
         def fwd(v, x):
-            return model.apply(v, x)
+            # Reference inference semantics (binary_seg/MyTest_med.py:104-108):
+            # V2 sums the 4 fg maps (bg maps are dead code XLA eliminates);
+            # V1 consumes only the res2 (finest) map.  This is the SAME
+            # program bench.py times — one benchmark, one number.
+            outs = model.apply(v, x)
+            if name.endswith("_v2"):
+                return outs[0] + outs[1] + outs[2] + outs[3]
+            return outs[3]
 
-        for _ in range(warmup):
+        out = None
+        for _ in range(max(warmup, 1)):  # >=1: compile before timing
             out = fwd(variables, x)
         fence(out)
         fps = []

@@ -18,7 +18,9 @@ def main():
     p.add_argument("--volume_path", required=True)
     p.add_argument("--list_dir", required=True)
     p.add_argument("--split", default=None, help="default: test_vol / test")
-    p.add_argument("--checkpoint", required=True, help="orbax params dir")
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax params dir (or a torch .pth — converted on "
+                        "the fly, incl. DataParallel 'module.' checkpoints)")
     p.add_argument("--num_classes", type=int, default=None)
     p.add_argument("--img_size", type=int, default=None)
     p.add_argument("--mode", default=None,
@@ -68,10 +70,33 @@ def main():
         mode = args.mode
 
     model = build_model(args.model, num_classes, args)
-    template = jax.eval_shape(
-        model.init, jax.random.key(0), jnp.zeros((1, img_size, img_size, 1))
-    )
-    variables = restore_params(args.checkpoint, dict(template))
+    if args.checkpoint.endswith(".pth"):
+        # released reference checkpoints (EMCAD_Synapse.pth etc. —
+        # /root/reference/multiclass_seg/EMCAD/test_synapse.py:188)
+        from pranet2_tpu.utils.torch_convert import (
+            convert_state_dict,
+            emcad_key_map,
+            load_torch_state_dict,
+            merit_key_map,
+            mist_key_map,
+            split_packed_mha,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint)
+        if args.model == "emcad":
+            km = emcad_key_map(args.encoder)
+        elif args.model.startswith("merit"):
+            km = merit_key_map()
+        else:
+            sd = split_packed_mha(sd)
+            km = mist_key_map()
+        variables = convert_state_dict(sd, km, strict=False)
+    else:
+        template = jax.eval_shape(
+            model.init, jax.random.key(0),
+            jnp.zeros((1, img_size, img_size, 1))
+        )
+        variables = restore_params(args.checkpoint, dict(template))
 
     metrics, names = test_volumes(
         model, variables, ds, num_classes,

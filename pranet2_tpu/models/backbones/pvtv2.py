@@ -2,7 +2,7 @@
 
 Behavioral spec re-derived from ``binary_seg/lib/pvtv2.py``:
 * 4 stages; each = OverlapPatchEmbed (7x7/4 first, then 3x3/2) -> N blocks ->
-  LayerNorm -> reshape to NHWC feature map.
+  LayerNorm -> NHWC feature map.
 * Block = LN -> SRA attention -> residual, LN -> MLP(DWConv) -> residual,
   with stochastic depth (linear ramp to ``drop_path_rate``).
 * SRA: queries from all tokens; K/V from a ``sr_ratio``-strided conv
@@ -15,6 +15,17 @@ TPU notes: attention shapes are modest (stage-1 at 352^2 input: 7744 q x 121
 kv) — a single dense dot_product_attention per stage is MXU-friendly; no
 flash/ring machinery is warranted.  Everything is static-shape; drop-path
 randomness comes from the flax 'dropout' RNG collection in training.
+
+Layout: the whole backbone stays in **image form** (b, h, w, c) — LayerNorm
+and Dense apply to the trailing channel axis of the 4-D map directly, and
+only the small per-head attention tensors are flattened to (b, n, heads, hd).
+The reference's token view (b, n, c) is mathematically identical (reshape is
+layout-only), but on TPU flattening (b,h,w,c) <-> (b,n,c) changes the tiled
+physical layout, and XLA materializes a relayout copy of every ratio-8 MLP
+tensor around the depthwise conv (measured: stage-1's (16,88,88,512) dwconv
+ran at ~260 GB/s vs ~770 for copy-free shapes).  Keeping image form
+end-to-end removes those copies; oracle parity tests confirm numerics are
+unchanged (tests/test_oracle_binary.py PVT variants).
 """
 
 from __future__ import annotations
@@ -49,18 +60,15 @@ class _Mlp(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, hw, deterministic=True):
-        h, w = hw
-        b, n, c = x.shape
+    def __call__(self, x, deterministic=True):
+        # x: (b, h, w, c) — fc1/fc2 act on the channel axis; the depthwise
+        # conv consumes the map natively (no token flatten/unflatten).
         dt = self.dtype
         x = nn.Dense(self.hidden, dtype=dt, param_dtype=jnp.float32,
                      name="fc1")(x)
-        # depthwise 3x3 on the 2-D map
-        xm = x.reshape(b, h, w, self.hidden)
-        xm = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
-                     feature_group_count=self.hidden, dtype=dt,
-                     param_dtype=jnp.float32, name="dwconv")(xm)
-        x = xm.reshape(b, n, self.hidden)
+        x = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=self.hidden, dtype=dt,
+                    param_dtype=jnp.float32, name="dwconv")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out, dtype=dt, param_dtype=jnp.float32,
                      name="fc2")(x)
@@ -74,21 +82,19 @@ class _SRAttention(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, hw, deterministic=True):
-        h, w = hw
-        b, n, c = x.shape
+    def __call__(self, x, deterministic=True):
+        b, h, w, c = x.shape
+        n = h * w
         dt = self.dtype
         nh = self.num_heads
         hd = c // nh
         q = nn.Dense(c, use_bias=True, dtype=dt, param_dtype=jnp.float32,
                      name="q")(x)
         if self.sr_ratio > 1:
-            xm = x.reshape(b, h, w, c)
-            xm = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
-                         strides=(self.sr_ratio, self.sr_ratio),
-                         padding="VALID", dtype=dt, param_dtype=jnp.float32,
-                         name="sr")(xm)
-            kv_in = xm.reshape(b, -1, c)
+            kv_in = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
+                            strides=(self.sr_ratio, self.sr_ratio),
+                            padding="VALID", dtype=dt,
+                            param_dtype=jnp.float32, name="sr")(x)
             kv_in = nn.LayerNorm(epsilon=1e-5, dtype=dt,
                                  param_dtype=jnp.float32, name="norm")(kv_in)
         else:
@@ -97,12 +103,13 @@ class _SRAttention(nn.Module):
                       name="kv")(kv_in)
         k, v = jnp.split(kv, 2, axis=-1)
 
+        # only the narrow per-head tensors take the token view
         q = q.reshape(b, n, nh, hd)
         k = k.reshape(b, -1, nh, hd)
         v = v.reshape(b, -1, nh, hd)
         # jax.nn.dot_product_attention: (B, T, N, H) layout, scale 1/sqrt(hd)
         o = jax.nn.dot_product_attention(q, k, v)
-        o = o.reshape(b, n, c)
+        o = o.reshape(b, h, w, c)
         return nn.Dense(c, dtype=dt, param_dtype=jnp.float32, name="proj")(o)
 
 
@@ -115,7 +122,7 @@ class _Block(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, hw, deterministic=True):
+    def __call__(self, x, deterministic=True):
         dt = self.dtype
         rng = None
         if not deterministic and self.drop_path > 0:
@@ -124,14 +131,14 @@ class _Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                          name="norm1")(x)
         y = _SRAttention(self.dim, self.num_heads, self.sr_ratio, dt,
-                         name="attn")(y, hw, deterministic)
+                         name="attn")(y, deterministic)
         if rng is not None:
             y = _drop_path(y, self.drop_path, deterministic, rng1)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                          name="norm2")(x)
         y = _Mlp(self.dim * self.mlp_ratio, self.dim, dt,
-                 name="mlp")(y, hw, deterministic)
+                 name="mlp")(y, deterministic)
         if rng is not None:
             y = _drop_path(y, self.drop_path, deterministic, rng2)
         return x + y
@@ -165,18 +172,15 @@ class PVTv2(nn.Module):
                         padding=((pad, pad), (pad, pad)), dtype=dt,
                         param_dtype=jnp.float32,
                         name=f"patch_embed{si + 1}_proj")(x)
-            b, h, w, _ = x.shape
-            t = x.reshape(b, h * w, dim)
-            t = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
-                             name=f"patch_embed{si + 1}_norm")(t)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
+                             name=f"patch_embed{si + 1}_norm")(x)
             for bi in range(self.depths[si]):
-                t = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
+                x = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
                            _SR_RATIOS[si], dpr[cur + bi], dt,
-                           name=f"block{si + 1}_{bi}")(t, (h, w), deterministic)
+                           name=f"block{si + 1}_{bi}")(x, deterministic)
             cur += self.depths[si]
-            t = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
-                             name=f"norm{si + 1}")(t)
-            x = t.reshape(b, h, w, dim)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
+                             name=f"norm{si + 1}")(x)
             outs.append(x)
         return tuple(outs)
 

@@ -26,7 +26,8 @@ Grid over (batch, channel-blocks) — the op is embarrassingly
 channel-parallel; halos are materialized in-register per block, the output
 written once.  ``depthwise_conv3x3`` falls back to
 ``lax.conv_general_dilated`` off-TPU or for channel counts that don't tile.
-The backward pass reuses XLA's conv autodiff.
+The backward pass reuses XLA's conv autodiff at
+``precision=HIGHEST`` so gradients are exact-f32 like the forward.
 """
 
 from __future__ import annotations
@@ -46,12 +47,13 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _xla_dwconv(x, w, stride: int = 1):
+def _xla_dwconv(x, w, stride: int = 1, precision=None):
     """Reference path: ``lax`` grouped conv, NHWC, 'same' padding for k=3."""
     c = x.shape[-1]
     return lax.conv_general_dilated(
         x, w.reshape(3, 3, 1, c), (stride, stride), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=precision,
     )
 
 
@@ -119,8 +121,14 @@ def _vjp_fwd(x, w):
 
 
 def _vjp_bwd(res, g):
+    # precision=HIGHEST keeps the gradients exact-f32 like the forward —
+    # otherwise XLA's bf16-pass conv autodiff would silently break the op's
+    # exactness contract in training.  The cost is confined to this op's
+    # backward, not the whole model.
     x, w = res
-    _, vjp = jax.vjp(lambda a, b: _xla_dwconv(a, b), x, w)
+    _, vjp = jax.vjp(
+        lambda a, b: _xla_dwconv(a, b, precision=lax.Precision.HIGHEST), x, w
+    )
     return vjp(g)
 
 

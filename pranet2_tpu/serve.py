@@ -23,7 +23,7 @@ class BinaryPredictor:
 
     def __init__(self, model_name: str, variables, batch_size: int = 16,
                  testsize: int = 352, dtype=None, exact_postproc: bool = True,
-                 mesh=None):
+                 mesh=None, host_workers: int | None = None):
         """``exact_postproc=True`` reproduces the reference export exactly
         (resize logits to native size, then sigmoid + min-max) — requires
         transferring f32 logits off device.  ``False`` runs sigmoid + min-max
@@ -33,7 +33,12 @@ class BinaryPredictor:
         ``mesh``: optional ``jax.sharding.Mesh`` for multi-chip serving —
         parameters are replicated and each batch sharded over the 'data'
         axis; XLA runs the forward data-parallel over ICI.  ``batch_size``
-        must divide evenly over the axis."""
+        must divide evenly over the axis.
+
+        ``host_workers``: size of the thread pool for per-image host decode/
+        resize/normalize (PIL releases the GIL for resampling, numpy for the
+        normalize, so threads give real speedup).  ``None`` = ``os.cpu_count()``
+        capped at ``batch_size``; ``0`` disables the pool (inline decode)."""
         self.v2 = model_name.endswith("_v2")
         kwargs = {"num_class": 1} if self.v2 else {}
         self.model = get_model(model_name, dtype=dtype, **kwargs)
@@ -53,6 +58,15 @@ class BinaryPredictor:
             variables = shard_params(variables, mesh)
             self._in_sharding = batch_sharding(mesh)
         self.variables = variables
+        self._pool = None
+        if host_workers is None:
+            import os
+
+            host_workers = min(os.cpu_count() or 1, batch_size)
+        if host_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=host_workers)
 
         @jax.jit
         def fwd(v, x):
@@ -70,17 +84,28 @@ class BinaryPredictor:
 
     def warmup(self):
         x = jnp.zeros((self.batch_size, self.testsize, self.testsize, 3))
+        if self._in_sharding is not None:
+            # compile for the layout real batches arrive in — otherwise the
+            # first sharded batch triggers a second full compile
+            x = jax.device_put(x, self._in_sharding)
         jax.block_until_ready(self._fwd(self.variables, x))
 
-    def _preprocess(self, chunk) -> np.ndarray:
+    def _decode_one(self, im) -> np.ndarray:
         from PIL import Image
 
+        pil = Image.fromarray(np.asarray(im))
+        return preprocess_image(pil.convert("RGB"), self.testsize)
+
+    def _preprocess(self, chunk) -> np.ndarray:
         batch = np.zeros(
             (self.batch_size, self.testsize, self.testsize, 3), np.float32
         )
-        for i, im in enumerate(chunk):
-            pil = Image.fromarray(np.asarray(im))
-            batch[i] = preprocess_image(pil.convert("RGB"), self.testsize)
+        if self._pool is not None:
+            for i, arr in enumerate(self._pool.map(self._decode_one, chunk)):
+                batch[i] = arr
+        else:
+            for i, im in enumerate(chunk):
+                batch[i] = self._decode_one(im)
         return batch
 
     def _postprocess(self, result: np.ndarray, chunk):
@@ -102,14 +127,22 @@ class BinaryPredictor:
     def stream(self, images):
         """Pipelined prediction: yields uint8 masks in input order.
 
+        ``images`` may be any iterable (list, generator, ...) of HxWx3
+        arrays; it is consumed lazily in batch_size chunks.
+
         JAX dispatch is asynchronous, so batch i computes on the TPU while
-        batch i+1 is being decoded/normalized on the host and batch i-1's
-        output is post-processed — a 1-deep software pipeline with no
-        threads; the D2H fetch of batch i is the synchronization point.
+        batch i+1 is being decoded/normalized on the host (thread-pooled —
+        see ``host_workers``) and batch i-1's output is post-processed; the
+        D2H fetch of batch i is the synchronization point.
         """
+        import itertools
+
+        it = iter(images)
         prev_out = prev_chunk = None
-        for start in range(0, len(images), self.batch_size):
-            chunk = images[start:start + self.batch_size]
+        while True:
+            chunk = list(itertools.islice(it, self.batch_size))
+            if not chunk:
+                break
             batch = jnp.asarray(self._preprocess(chunk))
             if self._in_sharding is not None:
                 batch = jax.device_put(batch, self._in_sharding)

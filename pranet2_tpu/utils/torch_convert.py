@@ -30,13 +30,34 @@ KeyMap = Callable[[str], tuple[str, ...] | None]
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Load a ``.pth`` into numpy (torch only needed here, on host)."""
+    """Load a ``.pth`` into numpy (torch only needed here, on host).
+
+    Robust to the wrappers real released checkpoints come in:
+    ``{'state_dict': ...}`` / ``{'model': ...}`` containers, and the
+    ``module.`` prefix that ``nn.DataParallel`` stamps on every key (the
+    reference's multiclass trainers wrap before saving —
+    ``multiclass_seg/EMCAD/trainer.py:77``,
+    ``multiclass_seg/MERIT/train_ACDC.py:169,329``).
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
-    return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return normalize_state_dict(sd)
+
+
+def normalize_state_dict(sd) -> dict[str, np.ndarray]:
+    """Unwrap containers, strip ``module.`` prefixes, coerce to numpy."""
+    for wrapper in ("state_dict", "model", "net", "model_state_dict"):
+        if (isinstance(sd, dict) and wrapper in sd
+                and isinstance(sd[wrapper], dict)):
+            sd = sd[wrapper]
+            break
+    out = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+           for k, v in sd.items()
+           if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
+    if out and all(k.startswith("module.") for k in out):
+        out = {k[len("module."):]: v for k, v in out.items()}
+    return out
 
 
 def convert_state_dict(
@@ -96,10 +117,15 @@ def convert_state_dict(
         else:
             skipped.append(prefix)
 
-    if strict and skipped:
-        unexpected = [p for p in skipped if not _is_ignorable(p)]
-        if unexpected:
+    unexpected = [p for p in skipped if not _is_ignorable(p)]
+    if unexpected:
+        if strict:
             raise ValueError(f"unmapped torch prefixes: {unexpected[:10]}")
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "convert_state_dict: %d torch prefixes had no flax mapping and "
+            "were skipped (first 10: %s)", len(unexpected), unexpected[:10])
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats

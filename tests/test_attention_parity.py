@@ -10,6 +10,9 @@ import torch
 
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.oracle
 
 
 def test_maxvit_attention_qkv_packing(rng):

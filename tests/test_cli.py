@@ -35,12 +35,71 @@ def test_eval_binary_end_to_end(tmp_path):
     assert os.path.isfile(tmp_path / "out" / "result_DS1.csv")
 
 
+def test_reproduce_baseline_mini_dataset(tmp_path, capsys, monkeypatch):
+    """reproduce_baseline on a synthetic mini TestDataset + orbax checkpoint:
+    the day-one BASELINE.md command must produce the metric table with no
+    extra code (VERDICT: one-command reproduction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pranet2_tpu.cli import reproduce_baseline as rb
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.utils.checkpoint import save_params
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "TestDataset"
+    for i, ds in enumerate(["CVC-300"]):
+        (data / ds / "images").mkdir(parents=True)
+        (data / ds / "masks").mkdir(parents=True)
+        for j in range(2):
+            img = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+            m = (rng.random((40, 48)) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(img).save(data / ds / "images" / f"{j}.png")
+            Image.fromarray(m).save(data / ds / "masks" / f"{j}.png")
+
+    model = get_model("pranet_v2", num_class=1)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    ckpts = tmp_path / "ckpts"
+    save_params(str(ckpts / "pranet_v2"), dict(variables))
+
+    monkeypatch.setattr(sys, "argv", [
+        "reproduce_baseline", "--data_root", str(data),
+        "--ckpt_dir", str(ckpts), "--models", "pranet_v2",
+        "--datasets", "CVC-300", "--testsize", "64", "--batchsize", "2",
+        "--save_root", str(tmp_path / "results"), "--precision", "default",
+    ])
+    rb.main()
+    out = capsys.readouterr().out
+    assert "pranet_v2/CVC-300: 2 maps" in out, out
+    # table row with all 6 metrics present and parseable
+    row = [l for l in out.splitlines()
+           if l.startswith("pranet_v2") and "CVC-300" in l]
+    assert row, out
+    vals = row[0].split()[2:]
+    assert len(vals) == 6 and all(float(v) == float(v) for v in vals)
+    assert (tmp_path / "results" / "pranet_v2" / "CVC-300" / "0.png").exists()
+
+
+def test_find_checkpoint_layouts(tmp_path):
+    from pranet2_tpu.cli.reproduce_baseline import find_checkpoint
+
+    (tmp_path / "RES-V2.pth").write_bytes(b"x")
+    assert find_checkpoint(str(tmp_path), "pranet_v2").endswith("RES-V2.pth")
+    (tmp_path / "PVT-PraNet-V2").mkdir()
+    (tmp_path / "PVT-PraNet-V2" / "PVT-V2.pth").write_bytes(b"x")
+    assert find_checkpoint(str(tmp_path), "pvt_pranet_v2").endswith(
+        os.path.join("PVT-PraNet-V2", "PVT-V2.pth"))
+    assert find_checkpoint(str(tmp_path), "pranet_v1") is None
+
+
 @pytest.mark.parametrize("mod", [
     "pranet2_tpu.cli.train_binary",
     "pranet2_tpu.cli.test_binary",
     "pranet2_tpu.cli.eval_binary",
     "pranet2_tpu.cli.train_multiclass",
     "pranet2_tpu.cli.test_multiclass",
+    "pranet2_tpu.cli.reproduce_baseline",
 ])
 def test_cli_help(mod):
     out = subprocess.run(
@@ -77,6 +136,7 @@ def _make_polyp_tree(root, n_train=4, n_test=2, size=64):
         Image.fromarray(m).save(root / "TestDataset/DS1/masks" / f"{i}.png")
 
 
+@pytest.mark.slow
 def test_train_binary_cli_end_to_end(tmp_path):
     """2-epoch run of the train CLI: snapshots + best + last must appear
     (MyTrain_med.py recipe: snapshot per --snapshot_every, best by eval)."""
@@ -96,6 +156,7 @@ def test_train_binary_cli_end_to_end(tmp_path):
         assert (snap / want).exists(), f"{want} missing: {list(snap.iterdir()) if snap.exists() else 'no dir'}"
 
 
+@pytest.mark.slow
 def test_train_multiclass_cli_end_to_end(tmp_path):
     """2-epoch EMCAD/Synapse run of the multiclass train CLI."""
     rng = np.random.default_rng(0)

@@ -23,6 +23,8 @@ from scipy.ndimage import gaussian_filter
 
 from oracle_shims import REF, load_ref_module, neutralized_loading
 
+pytestmark = pytest.mark.golden
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 SIZES = [(384, 288), (500, 374), (352, 352), (420, 320), (256, 312)]

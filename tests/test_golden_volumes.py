@@ -31,6 +31,8 @@ from pranet2_tpu.models import get_model
 from pranet2_tpu.train.multiclass import test_volumes as run_test_volumes
 from pranet2_tpu.utils.torch_convert import convert_state_dict, emcad_key_map
 
+pytestmark = pytest.mark.golden
+
 N_CLS = 4
 PATCH = 64
 
@@ -92,6 +94,85 @@ def _reference_metrics(ref, vols, which: str):
                 ref, classes=N_CLS, patch_size=[PATCH, PATCH], use_dual=True)
             rows.append(m)
     return np.asarray(rows, np.float64)
+
+
+def test_cli_disk_format_parity(setup, tmp_path, capsys, monkeypatch):
+    """The full day-one seam: synthetic Synapse volumes written as real
+    ``.npy.h5`` files + ``lists/test_vol.txt``, the reference model saved as
+    a **DataParallel** ``.pth``, then (a) the reference's actual
+    ``Synapse_dataset`` + ``test_single_volume`` slice pipeline
+    (``EMCAD/test_synapse.py:92-113``, ``utils/dataset_synapse.py:50-77``)
+    vs (b) our ``cli/test_multiclass.py`` driven through its argv interface
+    on the same files.  Per-case and per-class Dice/HD95 must agree."""
+    import re
+    import sys
+
+    ref, ours, fvars, vols = setup
+
+    # ---- write the disk formats the reference ships ----
+    import h5py
+
+    vol_dir = tmp_path / "vols"
+    list_dir = tmp_path / "lists"
+    vol_dir.mkdir()
+    list_dir.mkdir()
+    names = []
+    for i, (img, lab) in enumerate(vols):
+        name = f"case{i:04d}"
+        names.append(name)
+        with h5py.File(vol_dir / f"{name}.npy.h5", "w") as f:
+            f.create_dataset("image", data=img)
+            f.create_dataset("label", data=lab)
+    (list_dir / "test_vol.txt").write_text("\n".join(names) + "\n")
+    pth = tmp_path / "dp.pth"
+    torch.save(torch.nn.DataParallel(ref).state_dict(), pth)
+
+    # ---- reference pipeline over the same files ----
+    ds_mod = load_ref_module("multiclass_seg/EMCAD", "utils.dataset_synapse")
+    utils = load_ref_module("multiclass_seg/EMCAD", "utils.utils")
+    db = ds_mod.Synapse_dataset(base_dir=str(vol_dir), list_dir=str(list_dir),
+                                split="test_vol", nclass=N_CLS)
+    want_rows = []
+    with cpu_cuda():
+        for idx in range(len(db)):
+            sample = db[idx]
+            img, lab = sample["image"], sample["label"]
+            m = utils.test_single_volume(
+                torch.from_numpy(np.asarray(img))[None],
+                torch.from_numpy(np.asarray(lab))[None],
+                ref, classes=N_CLS, patch_size=[PATCH, PATCH], use_dual=True)
+            want_rows.append(m)
+    want = np.asarray(want_rows, np.float64)  # (cases, classes-1, 4)
+
+    # ---- our CLI on the same .pth + h5 + lists ----
+    from pranet2_tpu.cli import test_multiclass as cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "test_multiclass", "--model", "emcad", "--encoder", "pvt_v2_b0",
+        "--activation_mscb", "relu", "--dataset", "synapse",
+        "--num_classes", str(N_CLS), "--img_size", str(PATCH),
+        "--volume_path", str(vol_dir), "--list_dir", str(list_dir),
+        "--checkpoint", str(pth), "--mode", "fg_only",
+    ])
+    cli.main()
+    out = capsys.readouterr().out
+
+    got_case = {
+        m.group(1): (float(m.group(2)), float(m.group(3)))
+        for m in re.finditer(
+            r"^(case\d+): mean_dice ([\d.]+) mean_hd95 ([\d.]+)", out, re.M)
+    }
+    assert set(got_case) == set(names), out
+    for i, name in enumerate(names):
+        np.testing.assert_allclose(
+            got_case[name], [want[i, :, 0].mean(), want[i, :, 1].mean()],
+            atol=5e-3, err_msg=f"{name}\n{out}")
+    m = re.search(r"^mean dice ([\d.]+) mean hd95 ([\d.]+)", out, re.M)
+    assert m, out
+    np.testing.assert_allclose(
+        [float(m.group(1)), float(m.group(2))],
+        [want[:, :, 0].mean(axis=0).mean(), want[:, :, 1].mean(axis=0).mean()],
+        atol=5e-3)
 
 
 @pytest.mark.parametrize("which,mode", [("MERIT", "fg_minus_bg"),

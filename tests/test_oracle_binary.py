@@ -12,6 +12,7 @@ Reference models: /root/reference/binary_seg/lib/pranet.py:268 (PraNet_V2),
 :129 (PVT_PraNet_V2); lib/PraNet_Res2Net.py:101 (PraNet), :188 (PVT_PraNet).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -24,6 +25,9 @@ from oracle_shims import (
 )
 from pranet2_tpu.models import get_model
 from pranet2_tpu.utils.torch_convert import convert_state_dict, pranet_key_map
+import pytest
+
+pytestmark = pytest.mark.oracle
 
 # f32 conv/reduction ordering differs between XLA:CPU and torch; a ~50-layer
 # net accumulates a few 1e-4-scale absolute deviations on O(10) logits.
@@ -96,6 +100,32 @@ def test_pvt_pranet_v2_grayscale_stem_oracle_parity(rng):
         ref = mod.PVT_PraNet_V2(num_class=1)
     _parity(ref, get_model("pvt_pranet_v2", num_class=1),
             pranet_key_map("v2", "pvt_v2_b2"), _input(rng, 1), 8)
+
+
+def test_pranet_v2_dataparallel_checkpoint_roundtrip(rng, tmp_path):
+    """A ``.pth`` saved from ``nn.DataParallel(model)`` (every key prefixed
+    ``module.`` — how the reference's multi-GPU trainers save,
+    multiclass_seg/EMCAD/trainer.py:77) must load+convert identically to the
+    bare state_dict through the real disk path."""
+    from pranet2_tpu.utils.torch_convert import load_torch_state_dict
+
+    mod = load_ref_module("binary_seg", "lib.pranet")
+    torch.manual_seed(6)
+    with neutralized_loading():
+        ref = mod.PraNet_V2(channel=32, num_class=1)
+    ref.eval()
+    path = tmp_path / "dp.pth"
+    torch.save(torch.nn.DataParallel(ref).state_dict(), path)
+
+    km = pranet_key_map("v2", "res2net50")
+    got = convert_state_dict(load_torch_state_dict(str(path)), km)
+    want = convert_state_dict(to_numpy_sd(ref), km)
+    jax.tree.map(np.testing.assert_array_equal, got, want)
+
+    # and the converted tree actually runs the model
+    x = jnp.asarray(np.moveaxis(_input(rng, 3), 1, -1))
+    outs = get_model("pranet_v2", num_class=1).apply(got, x)
+    assert len(outs) == 8
 
 
 def test_cranet_legacy_oracle_parity(rng):

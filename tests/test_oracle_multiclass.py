@@ -38,6 +38,8 @@ from pranet2_tpu.utils.torch_convert import (
     split_packed_mha,
 )
 
+pytestmark = pytest.mark.oracle
+
 ATOL, RTOL = 5e-4, 5e-3
 
 
@@ -99,6 +101,30 @@ def test_emcad_grayscale_stem_oracle_parity(rng):
                      activation="relu", dual=True)
     x = rng.standard_normal((1, 1, 64, 64), dtype=np.float32)
     _parity(ref, ours, emcad_key_map("pvt_v2_b0"), x, 8)
+
+
+def test_emcad_dataparallel_checkpoint_roundtrip(rng, tmp_path):
+    """EMCAD saved through ``nn.DataParallel`` (exactly how the reference
+    trainer wraps before ``torch.save`` — multiclass_seg/EMCAD/trainer.py:77)
+    must convert identically to the bare model through the real ``.pth``
+    path, including a ``{'state_dict': ...}`` container."""
+    import jax
+
+    from pranet2_tpu.utils.torch_convert import load_torch_state_dict
+
+    mod = load_ref_module("multiclass_seg/EMCAD", "lib.networks")
+    torch.manual_seed(7)
+    with neutralized_loading():
+        ref = mod.EMCADNet(num_classes=4, encoder="pvt_v2_b0",
+                           activation="relu", pretrain=False, dual=True)
+    ref.eval()
+    path = tmp_path / "dp.pth"
+    torch.save({"state_dict": torch.nn.DataParallel(ref).state_dict()}, path)
+
+    km = emcad_key_map("pvt_v2_b0")
+    got = convert_state_dict(load_torch_state_dict(str(path)), km)
+    want = convert_state_dict(to_numpy_sd(ref), km)
+    jax.tree.map(np.testing.assert_array_equal, got, want)
 
 
 def test_merit_cascaded_dual_oracle_parity(rng):

@@ -15,6 +15,7 @@ import torch
 
 from pranet2_tpu.utils.torch_convert import (
     convert_state_dict,
+    normalize_state_dict,
     pranet_key_map,
     pvtv2_key_map,
     res2net_key_map,
@@ -78,6 +79,50 @@ def test_depthwise_conv_and_linear_parity(rng):
     with torch.no_grad():
         want = tlin(torch.from_numpy(xl)).numpy()
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_normalize_state_dict_dataparallel_and_wrappers():
+    """Released reference checkpoints can be (a) wrapped in a container dict
+    and (b) saved from an ``nn.DataParallel`` wrapper, which prefixes every
+    key with ``module.`` (multiclass_seg/EMCAD/trainer.py:77,
+    multiclass_seg/MERIT/train_ACDC.py:169,329).  Both must normalize away."""
+    t = torch.nn.Sequential()
+    t.add_module("conv", torch.nn.Conv2d(3, 8, 3))
+    dp = torch.nn.DataParallel(t)
+    sd = dp.state_dict()
+    assert all(k.startswith("module.") for k in sd)
+
+    for wrapped in (sd, {"state_dict": sd}, {"model": sd}):
+        out = normalize_state_dict(wrapped)
+        assert set(out) == {"conv.weight", "conv.bias"}
+        np.testing.assert_array_equal(
+            out["conv.weight"], sd["module.conv.weight"].numpy())
+
+    # an end-to-end convert of the DataParallel dict must equal the bare one
+    bare = normalize_state_dict(t.state_dict())
+    f1 = convert_state_dict(normalize_state_dict(dp.state_dict()),
+                            lambda p: (p,))
+    f2 = convert_state_dict(bare, lambda p: (p,))
+    jax.tree.map(np.testing.assert_array_equal, f1, f2)
+
+
+def test_normalize_state_dict_partial_module_prefix_untouched():
+    """Only strip ``module.`` when EVERY key has it — a model that happens to
+    contain a submodule literally named ``module`` must not be mangled."""
+    sd = {"module.conv.weight": np.zeros((1, 1, 1, 1), np.float32),
+          "other.weight": np.zeros((1,), np.float32)}
+    out = normalize_state_dict(sd)
+    assert set(out) == set(sd)
+
+
+def test_convert_nonstrict_logs_skipped(caplog):
+    import logging
+
+    sd = {"mystery.weight": np.zeros((4, 4), np.float32)}
+    with caplog.at_level(logging.WARNING):
+        out = convert_state_dict(sd, lambda p: None, strict=False)
+    assert out == {"params": {}}
+    assert any("no flax mapping" in r.message for r in caplog.records)
 
 
 # ---------------------------------------------------------------------------

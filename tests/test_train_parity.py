@@ -36,6 +36,8 @@ from pranet2_tpu.models import get_model
 from pranet2_tpu.train.optim import make_optimizer
 from pranet2_tpu.utils.torch_convert import convert_state_dict, pranet_key_map
 
+pytestmark = pytest.mark.oracle
+
 
 @pytest.fixture()
 def x64():

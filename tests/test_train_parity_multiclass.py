@@ -25,6 +25,8 @@ import torch.nn.functional as F
 
 from pranet2_tpu.losses import mutation_loss
 
+pytestmark = pytest.mark.oracle
+
 N_CLS = 4
 
 

@@ -33,6 +33,8 @@ from scipy.ndimage import (
 
 from pranet2_tpu.evalx import volumetric as V
 
+pytestmark = pytest.mark.slow
+
 
 # ----------------------------------------------------------------- oracle --
 def _medpy_surface_distances(result, reference, voxelspacing=None,

@@ -42,9 +42,15 @@ def main(batch_size=16, size=352):
         return outs[0] + outs[1] + outs[2] + outs[3]
 
     cost = cost_analysis(fwd, variables, x)
-    gflop_img = cost["flops"] / batch_size / 1e9
-    print(f"HLO flops: {gflop_img:.1f} GFLOP/img, "
-          f"bytes {cost['bytes_accessed']/1e9:.2f} GB/batch")
+    if cost["flops"]:
+        gflop_img = cost["flops"] / batch_size / 1e9
+        byte_s = (f"bytes {cost['bytes_accessed']/1e9:.2f} GB/batch"
+                  if cost["bytes_accessed"] else "bytes unavailable")
+        print(f"HLO flops: {gflop_img:.1f} GFLOP/img, {byte_s}")
+    else:
+        gflop_img = None
+        print("HLO flops unavailable on this backend — "
+              "TFLOP/s / MFU columns omitted")
 
     for _ in range(5):
         out = fwd(variables, x)
@@ -52,10 +58,14 @@ def main(batch_size=16, size=352):
 
     def report(tag, n, dt):
         fps = batch_size * n / dt
-        tf = fps * gflop_img / 1e3
-        mfu = f", MFU {100*tf/peak:.1f}%" if peak else ""
+        extra = ""
+        if gflop_img:
+            tf = fps * gflop_img / 1e3
+            extra = f", {tf:6.1f} TFLOP/s"
+            if peak:
+                extra += f", MFU {100*tf/peak:.1f}%"
         print(f"  {tag:28s} N={n:4d}: {dt*1e3:8.1f} ms total, "
-              f"{fps:8.1f} img/s, {tf:6.1f} TFLOP/s{mfu}")
+              f"{fps:8.1f} img/s{extra}")
 
     # 1. window scaling with block_until_ready
     print("protocol A: sequential dispatch, block_until_ready(last)")

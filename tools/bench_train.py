@@ -61,15 +61,27 @@ def bench_binary(model_name="pranet_v2", bs=8, size=352, dtype=None):
     return ms, bs / (ms / 1e3), cost
 
 
-def bench_multiclass(model_name="emcad", bs=6, size=224, ncls=9):
+def bench_multiclass(model_name="emcad", bs=6, size=224, ncls=9, dtype=None,
+                     remat=False):
+    import dataclasses
+
+    import flax.linen as nn
+
     from pranet2_tpu.losses import mutation_loss
     from pranet2_tpu.models import get_model
 
-    kw = dict(num_classes=ncls, dual=True)
+    kw = dict(num_classes=ncls, dual=True, dtype=dtype)
     if model_name == "emcad":
         kw["encoder"] = "pvt_v2_b2"
     m = get_model({"emcad": "emcad", "merit": "merit_cascaded",
                    "mist": "mist_cam"}[model_name], **kw)
+    if remat:
+        # rematerialize the whole forward: activations recomputed in the
+        # backward instead of stored — FLOPs traded for HBM residency
+        attrs = {f.name: getattr(m, f.name)
+                 for f in dataclasses.fields(m)
+                 if f.name not in ("parent", "name")}
+        m = nn.remat(type(m), static_argnums=(2,))(**attrs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((bs, size, size, 1), dtype=np.float32))
     lab = jnp.asarray(rng.integers(0, ncls, (bs, size, size)))
@@ -94,24 +106,49 @@ def bench_multiclass(model_name="emcad", bs=6, size=224, ncls=9):
     rest = {k: v[k] for k in v if k != "params"}
     state = (v["params"], rest, tx.init(v["params"]))
     ms = timeit_step(step, state, (x, lab))
-    return ms, bs / (ms / 1e3)
+    cost = cost_analysis(step, state, x, lab)
+    return ms, bs / (ms / 1e3), cost
+
+
+def _fmt_cost(ms, cost, peak_tflops=None):
+    out = []
+    if cost.get("flops"):
+        tf = cost["flops"] / 1e9 / ms  # GFLOP / ms = TFLOP/s
+        out.append(f"{cost['flops']/1e9:.0f} GFLOP -> {tf:.1f} TFLOP/s")
+        if peak_tflops:
+            out.append(f"MFU {100*tf/peak_tflops:.1f}%")
+    if cost.get("bytes_accessed"):
+        gb = cost["bytes_accessed"] / 1e9
+        out.append(f"{gb:.1f} GB -> {gb/(ms/1e3):.0f} GB/s")
+    return ", ".join(out)
 
 
 def main():
-    print(f"device: {jax.devices()[0].device_kind}")
+    from pranet2_tpu.utils.profiling import device_peak_tflops
+
+    kind, peak = device_peak_tflops()
+    print(f"device: {kind}")
     for name, bs, dt in [("pranet_v2", 8, None), ("pranet_v2", 32, None),
                          ("pranet_v2", 32, jnp.bfloat16),
-                         ("pvt_pranet_v2", 16, None)]:
+                         ("pvt_pranet_v2", 16, None),
+                         ("pvt_pranet_v2", 16, jnp.bfloat16)]:
         ms, fps, cost = bench_binary(name, bs=bs, dtype=dt)
         tag = "bf16" if dt is not None else "f32"
-        gb = cost["bytes_accessed"] / 1e9
         print(f"{name:16s} bs={bs:3d} {tag}: {ms:7.2f} ms/step, "
-              f"{fps:7.1f} img/s, {cost['flops']/1e9:.0f} GFLOP, {gb:.1f} GB "
-              f"-> {gb/(ms/1e3):.0f} GB/s effective")
-    for name, bs, size in [("emcad", 6, 224), ("mist", 4, 224)]:
-        ms, fps = bench_multiclass(name, bs=bs, size=size)
-        print(f"{name:16s} bs={bs:3d} MUTATION dual: {ms:7.2f} ms/step, "
-              f"{fps:7.1f} img/s")
+              f"{fps:7.1f} img/s, {_fmt_cost(ms, cost, peak)}")
+    for name, bs, size, dt, remat in [
+        ("emcad", 6, 224, None, False),
+        ("emcad", 6, 224, jnp.bfloat16, False),
+        ("emcad", 6, 224, jnp.bfloat16, True),
+        ("mist", 4, 224, None, False),
+        ("mist", 4, 224, jnp.bfloat16, False),
+        ("mist", 4, 224, jnp.bfloat16, True),
+    ]:
+        ms, fps, cost = bench_multiclass(name, bs=bs, size=size, dtype=dt,
+                                         remat=remat)
+        tag = ("bf16" if dt is not None else "f32") + ("+remat" if remat else "")
+        print(f"{name:16s} bs={bs:3d} MUTATION dual {tag}: {ms:7.2f} ms/step, "
+              f"{fps:7.1f} img/s, {_fmt_cost(ms, cost, peak)}")
 
 
 if __name__ == "__main__":
