@@ -54,6 +54,64 @@ PVT_CONFIGS = {
 _SR_RATIOS = (8, 4, 2, 1)
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-shaped params at this scope without computing."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _DWConvParams(nn.Module):
+    """Declares depthwise-3x3-Conv-shaped params (flax Conv layout)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 1, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+class _MlpParams(nn.Module):
+    """Declares _Mlp's exact param tree (fc1/dwconv/fc2) without computing.
+
+    Used by the fused-kernel path so both paths share one checkpoint
+    layout; initializers match flax Dense/Conv defaults.
+    """
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w1, b1 = _DenseParams(self.hidden, name="fc1")(in_features)
+        dwk, dwb = _DWConvParams(self.hidden, name="dwconv")()
+        w2, b2 = _DenseParams(self.out, name="fc2")(self.hidden)
+        return w1, b1, dwk, dwb, w2, b2
+
+
+class _LNParams(nn.Module):
+    """Declares LayerNorm-shaped params (scale/bias) without computing."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones_init(),
+                       (features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (features,), jnp.float32)
+        return s, b
+
+
 class _Mlp(nn.Module):
     hidden: int
     out: int
@@ -120,6 +178,7 @@ class _Block(nn.Module):
     sr_ratio: int
     drop_path: float = 0.0
     dtype: jnp.dtype | None = None
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -135,6 +194,17 @@ class _Block(nn.Module):
         if rng is not None:
             y = _drop_path(y, self.drop_path, deterministic, rng1)
         x = x + y
+        if self.fused_mlp and deterministic:
+            # one-pass Pallas kernel: x + fc2(gelu(dw(fc1(LN(x))))) — same
+            # param tree as the module path (see ops/pvt_mlp.py)
+            from pranet2_tpu.ops.pvt_mlp import fused_mlp_block
+
+            lns, lnb = _LNParams(name="norm2")(self.dim)
+            w1, b1, dwk, dwb, w2, b2 = _MlpParams(
+                self.dim * self.mlp_ratio, self.dim,
+                name="mlp")(self.dim)
+            return fused_mlp_block(x, lns, lnb, w1, b1, dwk[:, :, 0, :],
+                                   dwb, w2, b2, 1e-6)
         y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                          name="norm2")(x)
         y = _Mlp(self.dim * self.mlp_ratio, self.dim, dt,
@@ -153,10 +223,18 @@ class PVTv2(nn.Module):
     mlp_ratios: tuple[int, ...] = (8, 8, 4, 4)
     drop_path_rate: float = 0.1
     dtype: jnp.dtype | None = None
+    # fuse each block's LN+MLP chain into one Pallas pass (ops/pvt_mlp.py).
+    # None = auto: fused on the bf16 speed path, reference module chain for
+    # f32 parity paths.  Per-stage tuple overrides allowed.
+    fused_mlp: bool | tuple[bool, ...] | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        fused = self.fused_mlp
+        if fused is None:
+            fused = dt == jnp.bfloat16
+        fused = (fused,) * 4 if isinstance(fused, bool) else tuple(fused)
         deterministic = not train
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
@@ -177,6 +255,7 @@ class PVTv2(nn.Module):
             for bi in range(self.depths[si]):
                 x = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
                            _SR_RATIOS[si], dpr[cur + bi], dt,
+                           fused_mlp=fused[si],
                            name=f"block{si + 1}_{bi}")(x, deterministic)
             cur += self.depths[si]
             x = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,

@@ -1,0 +1,234 @@
+"""Fused PVTv2 MLP block — Pallas TPU kernel for ``x + MLP(LN(x))``.
+
+The PVTv2 transformer block's MLP half (``binary_seg/lib/pvtv2.py:14-30,
+205-210``) is ``x + fc2(GELU(dwconv3x3(fc1(LN(x)))))``.  Composed from XLA
+ops this chain makes ~7 full HBM round-trips per block — and the ratio-8
+hidden tensors (e.g. (16,88,88,512) at 352^2 stage 1) are 8x the residual
+stream, so the chain moves ~900 MB per block instance at bs16.  Worse,
+XLA's grouped-depthwise emitter on those shapes is VPU/permute-bound at
+~150-200 GB/s (measured, v5e).
+
+This kernel computes the whole block in ONE pass over x: LayerNorm, fc1
+(MXU), the depthwise 3x3 (VPU, entirely in VMEM), exact-erf GELU, fc2
+(MXU), and the residual add — reading x once (plus two cheap halo-row
+re-reads) and writing the output once.
+
+Halo handling: grid is (N, H/h_t); x is passed three times with clamped
+index maps (previous / current / next row-tile) and the kernel assembles
+``h_t + 2`` rows.  The depthwise conv's zero padding applies to the fc1
+*output* (the reference pads after fc1), so at image borders the kernel
+zeroes the halo rows of the hidden tensor — not of x — which reproduces
+``F.pad``-within-``nn.Conv`` semantics exactly.
+
+The op carries a custom VJP that recomputes via the plain-XLA reference
+composition, so ``jax.grad`` through an inference-mode model still works;
+training paths use the unfused module directly.
+
+Intended for the bf16 inference path (auto-enabled there by
+``PVTv2(fold_dwconv=None)``); numerics match the unfused bf16 program to
+bf16 resolution (see tests/test_pvt_mlp_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pltpu importable only where Pallas TPU lowering exists
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+# odd-polynomial erf(x/sqrt(2)) = x * P(x^2) on [-3.5, 3.5], x-weighted
+# LSQ fit, degree 5 in x^2 (max erf err 8.9e-4; tail saturation err
+# 4.7e-4 beyond the clip -- both well under bf16 resolution).  No
+# exp/transcendental: Mosaic has no erf primitive and the A&S exp-based
+# rational costs ~2x the VPU time of this Horner chain (measured).  The
+# GELU poly is the fused MLP kernel's largest VPU term (~24 ops/elem at
+# the old degree 8 = ~3.6 ms/iter at bs16), so degree is minimized.
+_ERF_COEF = (
+    0.79677470225491, -0.13004687058013398, 0.017675043414989475,
+    -0.0015805384199393212, 8.08939954863686e-05, -1.7651197891844647e-06,
+)
+
+
+def _gelu_erf(x):
+    """Exact-erf GELU via polynomial erf; |err| < 2e-3 absolute (bf16 path)."""
+    xc = jnp.clip(x, -3.5, 3.5)
+    u = xc * xc
+    p = jnp.full_like(u, _ERF_COEF[-1])
+    for coef in _ERF_COEF[-2::-1]:
+        p = p * u + coef
+    return 0.5 * x * (1.0 + xc * p)
+
+
+def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+            dwk_ref, dwb_ref, w2_ref, b2_ref, o_ref, *, eps: float):
+    i = pl.program_id(1)
+    nh = pl.num_programs(1)
+    xc = xc_ref[0]                                   # (h_t, W, D)
+    ht, w, d = xc.shape
+    top = jnp.where(i == 0, jnp.zeros_like(xc[:1]), xp_ref[0, ht - 1:ht])
+    bot = jnp.where(i == nh - 1, jnp.zeros_like(xc[:1]), xn_ref[0, 0:1])
+    xh = jnp.concatenate([top, xc, bot], axis=0)      # (h_t+2, W, D)
+
+    # LayerNorm over channels, f32 stats (flax fast-variance form)
+    xf = xh.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+
+    # The depthwise 3x3 needs W-shifted copies of the hidden tensor.
+    # Sublane shifts on the (rows, C) hidden are the kernel's dominant
+    # cost when done directly (measured 0.62 of 1.11 ms at stage 2,
+    # tools/exp_mlp_kernel.py) — so shift the 8x-narrower POST-LN input
+    # instead and run fc1 once per W-tap column: shift-then-matmul ==
+    # matmul-then-shift, at 1/8 the realign bytes.  The shifted copies
+    # wrap across flattened (H,W) row boundaries; those wrapped rows are
+    # exactly the dwconv's zero-pad positions and are re-zeroed (post
+    # bias — the reference pads fc1's *output*, bias included) by the
+    # row masks below.  All 9 tap reads are then H-slices of an aligned
+    # tensor, which cost ~0.01 ms each (free dim, no realign).
+    c = w1_ref.shape[-1]
+    r = (ht + 2) * w
+    y2 = y.reshape(r, d)          # rolls stay f32: Mosaic rotate is 32-bit
+    yb = y2.astype(xc.dtype)
+    w1 = w1_ref[...]
+    b1 = b1_ref[...].astype(jnp.float32)
+    dwk = dwk_ref[...].astype(jnp.float32)            # (3, 3, C)
+
+    rows = lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    border = ((rows < w) & (i == 0)) | ((rows >= (ht + 1) * w) & (i == nh - 1))
+    wpos = rows - (rows // w) * w                     # rows % W
+
+    acc = jnp.zeros((ht, w, c), jnp.float32)
+    for dj in range(3):
+        if dj == 0:   # left tap: z[h, w-1] = fc1(y rolled down one row)
+            ys = pltpu.roll(y2, 1, axis=0).astype(xc.dtype)
+            invalid = border | (wpos == 0)
+        elif dj == 2:  # right tap
+            ys = pltpu.roll(y2, r - 1, axis=0).astype(xc.dtype)
+            invalid = border | (wpos == w - 1)
+        else:
+            ys = yb
+            invalid = border
+        z = jnp.dot(ys, w1, preferred_element_type=jnp.float32) + b1
+        z = jnp.where(invalid, 0.0, z).reshape(ht + 2, w, c)
+        for di in range(3):
+            acc = acc + z[di:di + ht] * dwk[di, dj]
+    acc = acc + dwb_ref[...].astype(jnp.float32)
+
+    g = _gelu_erf(acc)
+
+    out = jnp.dot(g.reshape(ht * w, c).astype(xc.dtype), w2_ref[...],
+                  preferred_element_type=jnp.float32)
+    out = out + b2_ref[...].astype(jnp.float32)
+    o_ref[0] = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+
+
+def _pick_ht(h: int, w: int, c: int) -> int | None:
+    """Largest row-tile keeping the two live f32 hidden blocks ~<=6 MB."""
+    budget = 3 * 1024 * 1024
+    for ht in (h, 32, 22, 16, 11, 8, 4, 2, 1):
+        if ht <= h and h % ht == 0 and (ht + 2) * w * c * 4 <= budget:
+            return ht
+    return None
+
+
+def reference_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
+                        *, eps: float = 1e-6):
+    """Plain-XLA composition (fallback + VJP recompute path).
+
+    Matches the flax module chain numerically on the dtypes it is used
+    with; params arrive f32, compute dtype follows x (bf16 on the speed
+    path).
+    """
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = (y * lns + lnb).astype(dt)
+    y = jax.lax.dot_general(
+        y, w1.astype(dt), dimension_numbers=(((3,), (0,)), ((), ()))
+    ) + b1.astype(dt)
+    c = w1.shape[-1]
+    y = lax.conv_general_dilated(
+        y, dwk.reshape(3, 3, 1, c).astype(dt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    ) + dwb.astype(dt)
+    y = nn_gelu_exact(y)
+    y = jax.lax.dot_general(
+        y, w2.astype(dt), dimension_numbers=(((3,), (0,)), ((), ()))
+    ) + b2.astype(dt)
+    return x + y
+
+
+def nn_gelu_exact(x):
+    import flax.linen as nn
+
+    return nn.gelu(x, approximate=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
+                    eps: float = 1e-6):
+    """``x + fc2(gelu(dwconv3x3(fc1(LN(x)))))`` — one fused pass.
+
+    x: (N, H, W, D); w1: (D, C); dwk: (3, 3, C); w2: (C, D).  Falls back
+    to the XLA composition off-TPU or for shapes the kernel can't tile.
+    """
+    return _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps)
+
+
+def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):
+    n, h, w, d = x.shape
+    c = w1.shape[-1]
+    ht = _pick_ht(h, w, c) if _HAS_PLTPU else None
+    if ht is None or jax.default_backend() != "tpu":
+        return reference_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
+                                   eps=eps)
+    dt = x.dtype
+    grid = (n, h // ht)
+    xspec = lambda im: pl.BlockSpec((1, ht, w, d), im,
+                                    memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(
+        shape, lambda ni, hi: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, d), dt),
+        grid=grid,
+        in_specs=[
+            xspec(lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
+            xspec(lambda ni, hi: (ni, hi, 0, 0)),
+            xspec(lambda ni, hi: (ni, jnp.minimum(hi + 1, h // ht - 1), 0, 0)),
+            wspec((d,)), wspec((d,)),
+            wspec((d, c)), wspec((c,)),
+            wspec((3, 3, c)), wspec((c,)),
+            wspec((c, d)), wspec((d,)),
+        ],
+        out_specs=pl.BlockSpec((1, ht, w, d), lambda ni, hi: (ni, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, x, x, lns, lnb, w1.astype(dt), b1, dwk, dwb, w2.astype(dt), b2)
+
+
+def _vjp_fwd(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):
+    out = _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps)
+    return out, (x, lns, lnb, w1, b1, dwk, dwb, w2, b2)
+
+
+def _vjp_bwd(eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: reference_mlp_block(*a, eps=eps), *res)
+    return vjp(g)
+
+
+fused_mlp_block.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,108 @@
+"""Fused PVT MLP block op (ops/pvt_mlp.py).
+
+CPU exercises the XLA fallback (`reference_mlp_block`) — equality with the
+flax module chain proves the shared-param wiring in `pvtv2._Block` is
+right.  The Pallas TPU kernel itself is validated on-chip by
+`test_kernel_matches_reference_tpu` (skipped off-TPU; run via
+``JAX_PLATFORMS='' pytest -m tpu``) and by the bench parity checks.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pranet2_tpu.ops.pvt_mlp import (_gelu_erf, fused_mlp_block,
+                                     reference_mlp_block)
+
+
+def _args(rng, n=2, h=12, w=10, d=64, c=256, dtype=jnp.float32):
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), dtype)
+    mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    return (x, mk((d,), 0.1) + 1.0, mk((d,), 0.1), mk((d, c), 0.05),
+            mk((c,), 0.1), mk((3, 3, c), 0.2), mk((c,), 0.1),
+            mk((c, d), 0.05), mk((d,), 0.1))
+
+
+def _module_chain(x, lns, lnb, w1, b1, dwk, dwb, w2, b2):
+    """The unfused flax composition from pvtv2._Block / _Mlp."""
+    n, h, w, d = x.shape
+    y = (x.astype(jnp.float32) - jnp.mean(x.astype(jnp.float32), -1,
+                                          keepdims=True))
+    var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+    y = y * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+    y = y.astype(x.dtype)
+    y = y @ w1.astype(x.dtype) + b1.astype(x.dtype)
+    c = w1.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        y, dwk.reshape(3, 3, 1, c).astype(x.dtype), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c) + dwb.astype(x.dtype)
+    y = nn.gelu(y, approximate=False)
+    y = y @ w2.astype(x.dtype) + b2.astype(x.dtype)
+    return x + y
+
+
+def test_fallback_matches_module_chain(rng):
+    a = _args(rng)
+    got = np.asarray(jax.jit(fused_mlp_block)(*a))
+    want = np.asarray(jax.jit(_module_chain)(*a))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_gelu_poly_accuracy():
+    x = jnp.linspace(-12.0, 12.0, 100001)
+    want = nn.gelu(x, approximate=False)
+    err = np.abs(np.asarray(_gelu_erf(x)) - np.asarray(want))
+    # error stays well under bf16 resolution at every magnitude: constant
+    # ~1e-3 inside the clip range, ~7e-4*|x| in the saturated tail
+    # (resolution there is 2^-8*|x| ~ 3.9e-3*|x|)
+    rel = err / np.maximum(np.abs(np.asarray(x)), 1.0)
+    assert rel.max() < 1.5e-3
+    assert err[np.abs(np.asarray(x)) < 3.5].max() < 1.6e-3
+
+
+def test_grad_path_works(rng):
+    a = _args(rng, n=1, h=6, w=5, d=32, c=64)
+
+    def loss(*args):
+        return jnp.sum(jnp.sin(fused_mlp_block(*args)))
+
+    def loss_ref(*args):
+        return jnp.sum(jnp.sin(reference_mlp_block(*args)))
+
+    g = jax.grad(loss, argnums=(0, 3, 5, 7))(*a)
+    gr = jax.grad(loss_ref, argnums=(0, 3, 5, 7))(*a)
+    for x, y in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_pvtv2_fused_flag_same_params_and_outputs(rng):
+    """fused_mlp=True must not change the param tree; on CPU (fallback) the
+    f32 outputs must agree with the module chain to float tolerance."""
+    from pranet2_tpu.models.backbones.pvtv2 import PVT_CONFIGS, PVTv2
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m0 = PVTv2(**PVT_CONFIGS["b0"], fused_mlp=False)
+    m1 = PVTv2(**PVT_CONFIGS["b0"], fused_mlp=True)
+    v = jax.jit(m0.init)(jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        jax.jit(m1.init)(jax.random.key(0), x))
+    o0 = jax.jit(m0.apply)(v, x)
+    o1 = jax.jit(m1.apply)(v, x)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a TPU backend")
+def test_kernel_matches_reference_tpu(rng):
+    for (n, h, w, d, c) in [(2, 88, 88, 64, 512), (2, 44, 44, 128, 1024),
+                            (2, 22, 22, 320, 1280), (2, 11, 11, 512, 2048)]:
+        a = _args(rng, n, h, w, d, c, dtype=jnp.bfloat16)
+        got = np.asarray(jax.jit(fused_mlp_block)(*a), np.float32)
+        want = np.asarray(jax.jit(reference_mlp_block)(*a), np.float32)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 0.04 * max(scale / 4, 1.0), (n, c)
