@@ -171,6 +171,54 @@ class _SRAttention(nn.Module):
         return nn.Dense(c, dtype=dt, param_dtype=jnp.float32, name="proj")(o)
 
 
+class _FusedSRAttention(nn.Module):
+    """Same param tree as norm1+_SRAttention, fused-kernel compute.
+
+    The tiny K/V path (sr conv + LN + kv dense) runs as ordinary flax
+    modules; LN1, q, softmax-attention, proj and the residual go through
+    ``ops/pvt_attn.fused_sra_attention`` in one Pallas pass.
+    """
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, lns1, lnb1):
+        b, h, w, c = x.shape
+        dt = self.dtype
+        nh = self.num_heads
+        hd = c // nh
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns1 + lnb1)
+        y = y.astype(x.dtype)
+        if self.sr_ratio > 1:
+            kv_in = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
+                            strides=(self.sr_ratio, self.sr_ratio),
+                            padding="VALID", dtype=dt,
+                            param_dtype=jnp.float32, name="sr")(y)
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=dt,
+                                 param_dtype=jnp.float32, name="norm")(kv_in)
+        else:
+            kv_in = y
+        kv = nn.Dense(2 * c, use_bias=True, dtype=dt,
+                      param_dtype=jnp.float32, name="kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+        tkv = k.shape[1] * k.shape[2]
+        kt = k.reshape(b, tkv, nh, hd).transpose(0, 2, 3, 1)
+        v = v.reshape(b, tkv, nh, hd).transpose(0, 2, 1, 3)
+        wq, bq = _DenseParams(c, name="q")(c)
+        wp, bp = _DenseParams(c, name="proj")(c)
+        from pranet2_tpu.ops.pvt_attn import fused_sra_attention
+
+        return fused_sra_attention(
+            x, lns1, lnb1, wq.reshape(c, nh, hd).transpose(1, 0, 2),
+            bq.reshape(nh, hd), kt, v, wp, bp, 1e-6)
+
+
 class _Block(nn.Module):
     dim: int
     num_heads: int
@@ -179,6 +227,7 @@ class _Block(nn.Module):
     drop_path: float = 0.0
     dtype: jnp.dtype | None = None
     fused_mlp: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -187,13 +236,18 @@ class _Block(nn.Module):
         if not deterministic and self.drop_path > 0:
             rng = self.make_rng("dropout")
             rng1, rng2 = jax.random.split(rng)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
-                         name="norm1")(x)
-        y = _SRAttention(self.dim, self.num_heads, self.sr_ratio, dt,
-                         name="attn")(y, deterministic)
-        if rng is not None:
-            y = _drop_path(y, self.drop_path, deterministic, rng1)
-        x = x + y
+        if self.fused_attn and deterministic:
+            lns1, lnb1 = _LNParams(name="norm1")(self.dim)
+            x = _FusedSRAttention(self.dim, self.num_heads, self.sr_ratio,
+                                  dt, name="attn")(x, lns1, lnb1)
+        else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
+                             name="norm1")(x)
+            y = _SRAttention(self.dim, self.num_heads, self.sr_ratio, dt,
+                             name="attn")(y, deterministic)
+            if rng is not None:
+                y = _drop_path(y, self.drop_path, deterministic, rng1)
+            x = x + y
         if self.fused_mlp and deterministic:
             # one-pass Pallas kernel: x + fc2(gelu(dw(fc1(LN(x))))) — same
             # param tree as the module path (see ops/pvt_mlp.py)
@@ -223,10 +277,12 @@ class PVTv2(nn.Module):
     mlp_ratios: tuple[int, ...] = (8, 8, 4, 4)
     drop_path_rate: float = 0.1
     dtype: jnp.dtype | None = None
-    # fuse each block's LN+MLP chain into one Pallas pass (ops/pvt_mlp.py).
-    # None = auto: fused on the bf16 speed path, reference module chain for
-    # f32 parity paths.  Per-stage tuple overrides allowed.
+    # fuse each block's LN+MLP / LN+attention chains into single Pallas
+    # passes (ops/pvt_mlp.py, ops/pvt_attn.py).  None = auto: fused on the
+    # bf16 speed path, reference module chain for f32 parity paths.
+    # Per-stage tuple overrides allowed.
     fused_mlp: bool | tuple[bool, ...] | None = None
+    fused_attn: bool | tuple[bool, ...] | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -235,6 +291,10 @@ class PVTv2(nn.Module):
         if fused is None:
             fused = dt == jnp.bfloat16
         fused = (fused,) * 4 if isinstance(fused, bool) else tuple(fused)
+        fattn = self.fused_attn
+        if fattn is None:
+            fattn = dt == jnp.bfloat16
+        fattn = (fattn,) * 4 if isinstance(fattn, bool) else tuple(fattn)
         deterministic = not train
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
@@ -255,7 +315,7 @@ class PVTv2(nn.Module):
             for bi in range(self.depths[si]):
                 x = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
                            _SR_RATIOS[si], dpr[cur + bi], dt,
-                           fused_mlp=fused[si],
+                           fused_mlp=fused[si], fused_attn=fattn[si],
                            name=f"block{si + 1}_{bi}")(x, deterministic)
             cur += self.depths[si]
             x = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,

@@ -106,3 +106,83 @@ def test_kernel_matches_reference_tpu(rng):
         want = np.asarray(jax.jit(reference_mlp_block)(*a), np.float32)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 0.04 * max(scale / 4, 1.0), (n, c)
+
+
+# ---------------- fused SRA attention (ops/pvt_attn.py) ----------------
+
+def _attn_args(rng, n=2, h=12, w=10, d=64, nh=2, sr=2, dtype=jnp.float32):
+    hd = d // nh
+    tkv = (h // sr) * (w // sr)
+    mk = lambda s, sc=0.1: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), dtype)
+    return (x, mk((d,)) + 1.0, mk((d,)), mk((nh, d, hd), 0.05),
+            mk((nh, hd)), mk((n, nh, hd, tkv), 0.5),
+            mk((n, nh, tkv, hd), 0.5), mk((d, d), 0.05), mk((d,)))
+
+
+def test_attn_fallback_matches_dot_product_attention(rng):
+    """reference_sra_attention == LN + jax.nn.dot_product_attention + proj."""
+    from pranet2_tpu.ops.pvt_attn import reference_sra_attention
+
+    a = _attn_args(rng)
+    x, lns, lnb, wq, bq, kt, v, wp, bp = a
+    n, h, w, d = x.shape
+    nh, _, hd = wq.shape
+    got = np.asarray(jax.jit(reference_sra_attention)(*a))
+
+    y = nn.LayerNorm(epsilon=1e-6).apply(
+        {"params": {"scale": lns, "bias": lnb}}, x).reshape(n, h * w, d)
+    q = (y @ wq.transpose(1, 0, 2).reshape(d, d)).reshape(n, h * w, nh, hd)
+    q = q + bq.reshape(-1)[None, None].reshape(1, 1, nh, hd)
+    k = kt.transpose(0, 3, 1, 2)   # (n, tkv, nh, hd)
+    vv = v.transpose(0, 2, 1, 3)
+    o = jax.nn.dot_product_attention(q, k, vv)
+    want = x + (o.reshape(n, h * w, d) @ wp + bp).reshape(n, h, w, d)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_attn_grad_path_works(rng):
+    from pranet2_tpu.ops.pvt_attn import (fused_sra_attention,
+                                          reference_sra_attention)
+
+    a = _attn_args(rng, n=1, h=6, w=4, d=32, nh=2, sr=2)
+    g = jax.grad(lambda *A: jnp.sum(jnp.sin(fused_sra_attention(*A))),
+                 argnums=(0, 3, 7))(*a)
+    gr = jax.grad(lambda *A: jnp.sum(jnp.sin(reference_sra_attention(*A))),
+                  argnums=(0, 3, 7))(*a)
+    for x, y in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_pvtv2_fused_attn_same_params_and_outputs(rng):
+    from pranet2_tpu.models.backbones.pvtv2 import PVT_CONFIGS, PVTv2
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m0 = PVTv2(**PVT_CONFIGS["b0"], fused_mlp=False, fused_attn=False)
+    m1 = PVTv2(**PVT_CONFIGS["b0"], fused_mlp=True, fused_attn=True)
+    v = jax.jit(m0.init)(jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(
+        jax.jit(m1.init)(jax.random.key(0), x))
+    o0 = jax.jit(m0.apply)(v, x)
+    o1 = jax.jit(m1.apply)(v, x)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a TPU backend")
+def test_attn_kernel_matches_reference_tpu(rng):
+    from pranet2_tpu.ops.pvt_attn import (fused_sra_attention,
+                                          reference_sra_attention)
+
+    for (n, h, w, d, nh, sr) in [(2, 88, 88, 64, 1, 8),
+                                 (2, 44, 44, 128, 2, 4),
+                                 (2, 22, 22, 320, 5, 2),
+                                 (2, 11, 11, 512, 8, 1)]:
+        a = _attn_args(rng, n, h, w, d, nh, sr, dtype=jnp.bfloat16)
+        got = np.asarray(jax.jit(fused_sra_attention)(*a), np.float32)
+        want = np.asarray(jax.jit(reference_sra_attention)(*a), np.float32)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 0.04 * max(scale / 4, 1.0), (n, d)
