@@ -12,6 +12,7 @@ Run on the default backend (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -22,9 +23,11 @@ BASELINE_FPS = 556.0  # PyTorch PraNet-V2 bs=16 (BASELINE.md)
 
 
 def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50,
-                warmup: int = 5, windows: int = 3):
+                warmup: int = 5, windows: int = 3, fast: bool = True):
     from pranet2_tpu.models import get_model
 
+    if not fast:
+        os.environ["PRANET2_NO_FUSED"] = "1"  # read at trace time
     model = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(
@@ -61,7 +64,14 @@ def main():
     import sys
 
     print(f"device_kind: {jax.devices()[0].device_kind}", file=sys.stderr)
-    fps = bench_infer()
+    try:
+        fps = bench_infer()
+    except Exception as e:  # pragma: no cover - safety net for the driver
+        # A fused-kernel compile failure must never cost the round's number:
+        # retry once with every experimental path disabled (plain XLA).
+        print(f"fast path failed ({type(e).__name__}: {e}); "
+              "retrying with PRANET2_NO_FUSED=1", file=sys.stderr)
+        fps = bench_infer(fast=False)
     print(json.dumps({
         "metric": "pranet_v2_infer_img_per_sec_352_bs16",
         "value": round(fps, 1),

@@ -13,23 +13,27 @@ import os
 
 
 def build_model(name: str, num_classes: int, args):
+    import jax.numpy as jnp
+
     from pranet2_tpu.models import get_model
 
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else None
     if name == "emcad":
         return get_model(
             "emcad", num_classes=num_classes, encoder=args.encoder,
             kernel_sizes=tuple(args.kernel_sizes),
             expansion_factor=args.expansion_factor,
             lgag_ks=args.lgag_ks, activation=args.activation_mscb,
-            dual=args.dual,
+            dual=args.dual, dtype=dt,
         )
     if name in ("merit", "merit_parallel"):
         return get_model(
             "merit_cascaded" if name == "merit" else "merit_parallel",
-            num_classes=num_classes, dual=args.dual,
+            num_classes=num_classes, dual=args.dual, dtype=dt,
         )
     if name == "mist":
-        return get_model("mist_cam", num_classes=num_classes, dual=args.dual)
+        return get_model("mist_cam", num_classes=num_classes, dual=args.dual,
+                         dtype=dt)
     raise ValueError(name)
 
 
@@ -52,6 +56,10 @@ def main():
     p.add_argument("--dual", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--supervision", default="mutation",
                    choices=["mutation", "deep_supervision", "last_layer"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype; params, loss and optimizer "
+                        "state stay f32")
     # EMCAD-specific
     p.add_argument("--encoder", default="pvt_v2_b2")
     p.add_argument("--kernel_sizes", type=int, nargs="+", default=[1, 3, 5])

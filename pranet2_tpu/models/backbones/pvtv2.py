@@ -171,12 +171,31 @@ class _SRAttention(nn.Module):
         return nn.Dense(c, dtype=dt, param_dtype=jnp.float32, name="proj")(o)
 
 
+class _ConvBiasParams(nn.Module):
+    """Declares flax Conv (kernel+bias) params without computing."""
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, in_features, self.features),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class _FusedSRAttention(nn.Module):
     """Same param tree as norm1+_SRAttention, fused-kernel compute.
 
-    The tiny K/V path (sr conv + LN + kv dense) runs as ordinary flax
-    modules; LN1, q, softmax-attention, proj and the residual go through
-    ``ops/pvt_attn.fused_sra_attention`` in one Pallas pass.
+    The whole attention half — LN1, the sr-conv K/V path (non-overlapping
+    patch conv as aligned reshapes + one dot), kv LN/dense, q, softmax
+    attention, proj, residual — runs in one per-image Pallas pass
+    (``ops/pvt_attn.fused_sra_block``).  v1 left the K/V path in XLA,
+    which cost a duplicated LN reduce and layout copies at every
+    XLA<->Pallas boundary.
     """
 
     dim: int
@@ -187,36 +206,27 @@ class _FusedSRAttention(nn.Module):
     @nn.compact
     def __call__(self, x, lns1, lnb1):
         b, h, w, c = x.shape
-        dt = self.dtype
         nh = self.num_heads
         hd = c // nh
-        xf = x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns1 + lnb1)
-        y = y.astype(x.dtype)
-        if self.sr_ratio > 1:
-            kv_in = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
-                            strides=(self.sr_ratio, self.sr_ratio),
-                            padding="VALID", dtype=dt,
-                            param_dtype=jnp.float32, name="sr")(y)
-            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=dt,
-                                 param_dtype=jnp.float32, name="norm")(kv_in)
-        else:
-            kv_in = y
-        kv = nn.Dense(2 * c, use_bias=True, dtype=dt,
-                      param_dtype=jnp.float32, name="kv")(kv_in)
-        k, v = jnp.split(kv, 2, axis=-1)
-        tkv = k.shape[1] * k.shape[2]
-        kt = k.reshape(b, tkv, nh, hd).transpose(0, 2, 3, 1)
-        v = v.reshape(b, tkv, nh, hd).transpose(0, 2, 1, 3)
+        sr = self.sr_ratio
         wq, bq = _DenseParams(c, name="q")(c)
         wp, bp = _DenseParams(c, name="proj")(c)
-        from pranet2_tpu.ops.pvt_attn import fused_sra_attention
+        if sr > 1:
+            ksr, bsr = _ConvBiasParams(c, sr, name="sr")(c)
+            wsr = ksr.reshape(sr * sr * c, c)
+            lks, lkb = _LNParams(name="norm")(c)
+        else:
+            wsr = jnp.zeros((1, c), jnp.float32)
+            bsr = jnp.zeros((c,), jnp.float32)
+            lks = jnp.ones((c,), jnp.float32)
+            lkb = jnp.zeros((c,), jnp.float32)
+        wkv, bkv = _DenseParams(2 * c, name="kv")(c)
+        from pranet2_tpu.ops.pvt_attn import fused_sra_block
 
-        return fused_sra_attention(
+        return fused_sra_block(
             x, lns1, lnb1, wq.reshape(c, nh, hd).transpose(1, 0, 2),
-            bq.reshape(nh, hd), kt, v, wp, bp, 1e-6)
+            bq.reshape(nh, hd), wsr, bsr, lks, lkb, wkv, bkv, wp, bp,
+            sr, nh, 1e-6)
 
 
 class _Block(nn.Module):
@@ -287,13 +297,16 @@ class PVTv2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        import os
+
+        auto = dt == jnp.bfloat16 and not os.environ.get("PRANET2_NO_FUSED")
         fused = self.fused_mlp
         if fused is None:
-            fused = dt == jnp.bfloat16
+            fused = auto
         fused = (fused,) * 4 if isinstance(fused, bool) else tuple(fused)
         fattn = self.fused_attn
         if fattn is None:
-            fattn = dt == jnp.bfloat16
+            fattn = auto
         fattn = (fattn,) * 4 if isinstance(fattn, bool) else tuple(fattn)
         deterministic = not train
         total = sum(self.depths)

@@ -32,6 +32,37 @@ from pranet2_tpu.nn import torch_bn
 from pranet2_tpu.ops import avg_pool, max_pool
 
 
+class _ConvParams(nn.Module):
+    """Declares flax-Conv-shaped params at this scope without computing."""
+
+    features: int
+    kernel: int = 1
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, in_features, self.features),
+            jnp.float32)
+        return k
+
+
+class _BNParams(nn.Module):
+    """Declares TorchBatchNorm's param/batch_stats tree without computing."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                             None, (features,), jnp.float32)
+        var = self.variable("batch_stats", "var", nn.initializers.ones,
+                            None, (features,), jnp.float32)
+        return scale, bias, mean.value, var.value
+
+
 class Bottle2neck(nn.Module):
     planes: int
     stride: int = 1
@@ -40,12 +71,42 @@ class Bottle2neck(nn.Module):
     base_width: int = 26
     scale: int = 4
     dtype: jnp.dtype | None = None
+    fused: bool = False  # whole-block Pallas kernel (ops/res2_block.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
         width = int(math.floor(self.planes * (self.base_width / 64.0)))
         expansion = 4
+
+        if (self.fused and not train and self.stype == "normal"
+                and self.stride == 1 and not self.has_downsample
+                and self.scale == 4):
+            # One-pass kernel: same param tree as the module path below
+            # (holders declare identical names/shapes/collections), narrow
+            # split tensors never touch HBM.  Eval only: BN folded from
+            # running stats.
+            from pranet2_tpu.ops.res2_block import fold_bn, fused_bottle2neck
+
+            k1 = _ConvParams(width * 4, 1, name="conv1")(x.shape[-1])
+            s1, b1, m1, v1 = _BNParams(name="bn1")(width * 4)
+            kd, sd, td = [], [], []
+            for i in range(3):
+                k = _ConvParams(width, 3, name=f"convs_{i}")(width)
+                s, b, m, v = _BNParams(name=f"bns_{i}")(width)
+                fs, ft = fold_bn(s, b, m, v)
+                kd.append(k.reshape(3, 3 * width, width))
+                sd.append(fs)
+                td.append(ft)
+            k3 = _ConvParams(self.planes * expansion, 1,
+                             name="conv3")(width * 4)
+            s3, b3, m3, v3 = _BNParams(name="bn3")(self.planes * expansion)
+            fs1, ft1 = fold_bn(s1, b1, m1, v1)
+            fs3, ft3 = fold_bn(s3, b3, m3, v3)
+            return fused_bottle2neck(
+                x, k1.reshape(x.shape[-1], width * 4), fs1, ft1,
+                jnp.stack(kd), jnp.stack(sd), jnp.stack(td),
+                k3.reshape(4, width, self.planes * expansion), fs3, ft3)
 
         def conv(feats, k, s, name, pad=0):
             return nn.Conv(
@@ -101,10 +162,29 @@ class Res2Net(nn.Module):
     base_width: int = 26
     scale: int = 4
     dtype: jnp.dtype | None = None
+    # fuse stride-1 'normal' Bottle2necks into single Pallas passes
+    # (ops/res2_block.py).  Default OFF — a measured negative result: the
+    # 26/52-wide split groups force either 128-lane zero padding (5x MXU
+    # waste; kernel 2.0 ms/block at layer-1 vs XLA's ~0.75) or unaligned
+    # lane slices Mosaic scalarizes (compile did not finish in 9 min).
+    # Kept for shapes where it ties/wins (width>=104 synthetic chains) and
+    # as the starting point for a channel-major rewrite.
+    fused: bool = False
+    # space-to-depth stem (ops/stem.py): exact restructure of the v1b deep
+    # stem into dense-channel convs.  None = auto: on for the bf16 eval
+    # speed path.
+    s2d_stem: bool | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        fused = self.fused
+        s2d = self.s2d_stem
+        if s2d is None:
+            import os
+
+            s2d = (dt == jnp.bfloat16
+                   and not os.environ.get("PRANET2_NO_FUSED"))
 
         def conv(feats, k, s, name, pad=0):
             return nn.Conv(
@@ -117,11 +197,26 @@ class Res2Net(nn.Module):
             return torch_bn(train, dt, name,)
 
         # deep stem: torch names conv1.{0,1,3,4,6} + bn1
-        x = nn.relu(bn("conv1_1")(conv(32, 3, 2, "conv1_0", pad=1)(x)))
-        x = nn.relu(bn("conv1_4")(conv(32, 3, 1, "conv1_3", pad=1)(x)))
-        x = conv(64, 3, 1, "conv1_6", pad=1)(x)
-        x = nn.relu(bn("bn1")(x))
-        x = max_pool(x, 3, 2, 1)
+        if s2d and not train and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            # exact space-to-depth restructure (ops/stem.py): dense-channel
+            # convs instead of lane-padded 32/64-wide maps.  Same param
+            # tree via holders; eval-only (BN folded from running stats).
+            from pranet2_tpu.ops.res2_block import fold_bn
+            from pranet2_tpu.ops.stem import s2d_stem
+
+            k1 = _ConvParams(32, 3, name="conv1_0")(x.shape[-1])
+            f1 = fold_bn(*_BNParams(name="conv1_1")(32))
+            k2 = _ConvParams(32, 3, name="conv1_3")(32)
+            f2 = fold_bn(*_BNParams(name="conv1_4")(32))
+            k3 = _ConvParams(64, 3, name="conv1_6")(32)
+            f3 = fold_bn(*_BNParams(name="bn1")(64))
+            x = s2d_stem(x, k1, *f1, k2, *f2, k3, *f3)
+        else:
+            x = nn.relu(bn("conv1_1")(conv(32, 3, 2, "conv1_0", pad=1)(x)))
+            x = nn.relu(bn("conv1_4")(conv(32, 3, 1, "conv1_3", pad=1)(x)))
+            x = conv(64, 3, 1, "conv1_6", pad=1)(x)
+            x = nn.relu(bn("bn1")(x))
+            x = max_pool(x, 3, 2, 1)
 
         feats = []
         inplanes = 64
@@ -141,7 +236,7 @@ class Res2Net(nn.Module):
                 else:
                     x = Bottle2neck(
                         planes, 1, False, "normal",
-                        self.base_width, self.scale, dt,
+                        self.base_width, self.scale, dt, fused,
                         name=f"layer{li}_{bi}",
                     )(x, train)
             feats.append(x)

@@ -1,0 +1,31 @@
+"""Shared Pallas-kernel plumbing for the fused ops.
+
+The fused kernels (pvt_mlp / pvt_attn / res2_block) compile only on a real
+TPU backend and fall back to their plain-XLA reference compositions
+everywhere else, so CPU test runs never exercise the *in-kernel* logic
+(rolls, halo masks, tap accumulation order).  Setting
+``PRANET2_PALLAS_INTERPRET=1`` routes those kernels through the Pallas
+interpreter off-TPU instead — slow, but it executes the actual kernel
+bodies so their logic is pinned by tests/test_pallas_interpret.py without
+a chip.  On a TPU backend the flag is ignored (the compiled kernel is the
+thing under test there).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def use_kernel(has_pltpu: bool) -> bool:
+    """Whether the Pallas path (compiled or interpreted) should run."""
+    if not has_pltpu:
+        return False
+    return jax.default_backend() == "tpu" or interpret_mode()
+
+
+def interpret_mode() -> bool:
+    """True when kernels must run under the Pallas interpreter (off-TPU)."""
+    return (os.environ.get("PRANET2_PALLAS_INTERPRET") == "1"
+            and jax.default_backend() != "tpu")

@@ -45,6 +45,10 @@ try:  # pltpu importable only where Pallas TPU lowering exists
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
+import os
+
+_TAPS_LOWP = os.environ.get("PVT_MLP_TAPS", "lowp") != "f32"
+
 
 # odd-polynomial erf(x/sqrt(2)) = x * P(x^2) on [-3.5, 3.5], x-weighted
 # LSQ fit, degree 5 in x^2 (max erf err 8.9e-4; tail saturation err
@@ -109,7 +113,14 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     border = ((rows < w) & (i == 0)) | ((rows >= (ht + 1) * w) & (i == nh - 1))
     wpos = rows - (rows // w) * w                     # rows % W
 
-    acc = jnp.zeros((ht, w, c), jnp.float32)
+    # Tap accumulation + GELU are the kernel's dominant VPU cost on the
+    # 8x-wide hidden tensor.  bf16 arithmetic packs 2 lanes per f32 ALU op
+    # on this chip (measured ~1.6x end-to-end on the stage-1/2 blocks), and
+    # a 9-term bf16 accumulation stays within ~2 ulp of the bf16 result the
+    # unfused bf16 module chain produces anyway.
+    tdt = xc.dtype if _TAPS_LOWP else jnp.float32
+    acc = jnp.zeros((ht, w, c), tdt)
+    dwk_t = dwk.astype(tdt)
     for dj in range(3):
         if dj == 0:   # left tap: z[h, w-1] = fc1(y rolled down one row)
             ys = pltpu.roll(y2, 1, axis=0).astype(xc.dtype)
@@ -123,8 +134,9 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
         z = jnp.dot(ys, w1, preferred_element_type=jnp.float32) + b1
         z = jnp.where(invalid, 0.0, z).reshape(ht + 2, w, c)
         for di in range(3):
-            acc = acc + z[di:di + ht] * dwk[di, dj]
-    acc = acc + dwb_ref[...].astype(jnp.float32)
+            # convert per H-slice: no second full-size hidden copy in VMEM
+            acc = acc + z[di:di + ht].astype(tdt) * dwk_t[di, dj]
+    acc = acc + dwb_ref[...].astype(tdt)
 
     g = _gelu_erf(acc)
 
@@ -190,10 +202,12 @@ def fused_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
 
 
 def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):
+    from pranet2_tpu.ops._pallas import interpret_mode, use_kernel
+
     n, h, w, d = x.shape
     c = w1.shape[-1]
     ht = _pick_ht(h, w, c) if _HAS_PLTPU else None
-    if ht is None or jax.default_backend() != "tpu":
+    if ht is None or not use_kernel(_HAS_PLTPU):
         return reference_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
                                    eps=eps)
     dt = x.dtype
@@ -205,6 +219,11 @@ def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d), dt),
+        # default scoped-vmem limit is 16M; the bf16-tap variant peaks a few
+        # hundred KB over it at the stage-2 shape (v5e has far more VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret_mode(),
         grid=grid,
         in_specs=[
             xspec(lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),

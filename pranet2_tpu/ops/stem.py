@@ -1,0 +1,114 @@
+"""Space-to-depth restructure of the Res2Net-v1b deep stem (pure XLA).
+
+The stem (``binary_seg/lib/Res2Net_v1b.py:101-112``: conv3x3/2 3->32, BN,
+ReLU, conv3x3 32->32, BN, ReLU, conv3x3 32->64, BN, ReLU, maxpool3x3/2) is
+~1.65 ms/iter of a 9 ms PraNet-V2 forward at 352^2 bs16 — not for FLOPs
+(29 GFLOP) but because every intermediate is a 32/64-channel map whose
+minor dim is lane-padded to 128 in HBM: (16,176,176,32) occupies 127 MB
+instead of 32 MB, and each conv pays the padded bytes both ways.
+
+The fix needs no Pallas: re-express the stem on the 2x2 space-to-depth
+grid, where every tensor has 128/256 dense channels and zero padding waste:
+
+* conv1 + s2d      == one (5,5,3,128)  stride-4 conv (weights scattered)
+* s2d conv2 s2d^-1 == one (3,3,128,128) conv with block-structured weights
+* s2d conv3 s2d^-1 == one (3,3,128,256) conv
+* maxpool 3x3/2    == elementwise max of 9 shifted channel-slices of the
+                      packed conv3 output (one XLA fusion)
+
+Packed channel q = (a*2+b)*C + c holds pixel (2i+a, 2j+b) channel c.  The
+restructure is exact in real arithmetic (same multiply-add sets per output;
+only the reduction order inside each conv changes, i.e. float rounding at
+the compute dtype).  The scattered weights cost ~4x the stem's FLOPs —
+irrelevant for a memory-bound stage — and are rebuilt per call from the
+canonical parameters (a handful of dynamic-update-slices on 3x3 kernels).
+
+Inference-only: BN is folded from running stats by the caller (training
+needs batch stats of the unpacked intermediates; the module path serves it).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _scatter_w1(k1):
+    """(3,3,Cin,32) conv1 kernel -> (5,5,Cin,128) packed stride-4 kernel."""
+    cin, co = k1.shape[2], k1.shape[3]
+    w = jnp.zeros((5, 5, cin, 4 * co), k1.dtype)
+    for a in range(2):
+        for b in range(2):
+            for di in range(3):
+                for dj in range(3):
+                    q = (a * 2 + b) * co
+                    w = w.at[2 * a + di, 2 * b + dj, :, q:q + co].set(
+                        k1[di, dj])
+    return w
+
+
+def _scatter_w(k):
+    """(3,3,C,Co) stride-1 kernel -> (3,3,4C,4Co) packed-grid kernel."""
+    c, co = k.shape[2], k.shape[3]
+    w = jnp.zeros((3, 3, 4 * c, 4 * co), k.dtype)
+    for a in range(2):
+        for b in range(2):
+            for di in range(3):
+                for dj in range(3):
+                    ri, rj = a + di - 1, b + dj - 1
+                    qi, ai = ri // 2, ri % 2
+                    qj, bj = rj // 2, rj % 2
+                    w = w.at[qi + 1, qj + 1,
+                             (ai * 2 + bj) * c:(ai * 2 + bj) * c + c,
+                             (a * 2 + b) * co:(a * 2 + b) * co + co].set(
+                        k[di, dj])
+    return w
+
+
+def _shifted(z, dr, dc):
+    """Shift a (N,H,W,C) map by (dr,dc) with -inf fill (maxpool identity)."""
+    if dr == 0 and dc == 0:
+        return z
+    neg = jnp.array(-jnp.inf, z.dtype)
+    pads = [(0, 0), (max(dr, 0), max(-dr, 0)), (max(dc, 0), max(-dc, 0)),
+            (0, 0)]
+    zp = jnp.pad(z, pads, constant_values=neg)
+    h, w = z.shape[1], z.shape[2]
+    return zp[:, max(-dr, 0):max(-dr, 0) + h, max(-dc, 0):max(-dc, 0) + w]
+
+
+def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3):
+    """The full v1b deep stem on the space-to-depth grid.
+
+    x: (N, H, W, Cin); k*: the canonical HWIO 3x3 kernels; s*/t*: folded
+    inference-BN scale/shift for each stage (widths 32/32/64).  Returns the
+    (N, H/4, W/4, 64) post-maxpool feature map.
+    """
+    dt = x.dtype
+
+    def conv(v, w, stride, pad):
+        return lax.conv_general_dilated(
+            v, w.astype(dt), (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    tile4 = lambda v: jnp.tile(v, 4)
+    z = conv(x, _scatter_w1(k1), 4, ((1, 0), (1, 0)))
+    z = jnp.maximum(z.astype(jnp.float32) * tile4(s1) + tile4(t1), 0.0)
+    z = conv(z.astype(dt), _scatter_w(k2), 1, ((1, 1), (1, 1)))
+    z = jnp.maximum(z.astype(jnp.float32) * tile4(s2) + tile4(t2), 0.0)
+    z = conv(z.astype(dt), _scatter_w(k3), 1, ((1, 1), (1, 1)))
+    z = jnp.maximum(z.astype(jnp.float32) * tile4(s3) + tile4(t3), 0.0)
+    z = z.astype(dt)
+
+    # maxpool 3x3/2 pad 1 on the packed grid: out(r,c) covers pixel rows
+    # {2r-1, 2r, 2r+1} = packed (r-1,a=1), (r,a=0), (r,a=1); same for cols.
+    # (quad r-1 at output r == shift the map DOWN by one, dr=+1)
+    co = k3.shape[3]
+    rows = ((1, 1), (0, 0), (0, 1))
+    out = None
+    for dr, a in rows:
+        for dc, b in rows:
+            q = (a * 2 + b) * co
+            term = _shifted(z[..., q:q + co], dr, dc)
+            out = term if out is None else jnp.maximum(out, term)
+    return out

@@ -13,22 +13,28 @@ read by the C++ client at creation time, so the environ update works for it.
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("PRANET2_TESTS_TPU") == "1":
+    # Real-chip mode: run the compiled-kernel parity tests on the default
+    # (TPU) backend — use ``-k tpu``.  Multi-device CPU-mesh tests are not
+    # valid in this mode; the kernel tests gate themselves on the backend.
+    import jax
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", (
-    f"tests must run on CPU, got {jax.default_backend()}"
-)
-assert jax.device_count() == 8, (
-    f"expected 8 virtual CPU devices, got {jax.device_count()}"
-)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}"
+    )
+    assert jax.device_count() == 8, (
+        f"expected 8 virtual CPU devices, got {jax.device_count()}"
+    )
 
 import numpy as np
 import pytest

@@ -9,6 +9,22 @@ import pytest
 from PIL import Image
 
 
+def _cpu_env(**extra):
+    """Subprocess env that really runs on CPU in this image.
+
+    ``JAX_PLATFORMS=cpu`` alone is not enough: the image's sitecustomize
+    (on PYTHONPATH at ``.axon_site``) re-exports JAX_PLATFORMS=axon at
+    interpreter startup, and with the TPU tunnel down the axon backend
+    init blocks for ~10 min per subprocess.  Stripping that path makes
+    the CLI tests hermetic regardless of tunnel state.
+    """
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", **extra}
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
+    return env
+
+
 def test_eval_binary_end_to_end(tmp_path):
     # build gt + near-perfect predictions
     rng = np.random.default_rng(0)
@@ -105,7 +121,7 @@ def test_cli_help(mod):
     out = subprocess.run(
         [sys.executable, "-m", mod, "--help"],
         capture_output=True, text=True, timeout=120,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env=_cpu_env(),
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert "usage" in out.stdout.lower()
@@ -115,8 +131,7 @@ def test_cli_help(mod):
 # train-CLI execution tests (tiny synthetic data, 2 epochs)
 # ---------------------------------------------------------------------------
 
-_ENV = {**os.environ, "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+_ENV = _cpu_env(XLA_FLAGS="--xla_force_host_platform_device_count=1")
 
 
 def _make_polyp_tree(root, n_train=4, n_test=2, size=64):

@@ -1,0 +1,141 @@
+"""In-kernel logic parity via the Pallas interpreter (no TPU needed).
+
+Off-TPU the fused kernels fall back to their XLA reference compositions,
+so ordinary CPU test runs never execute the kernel *bodies* (rolls, halo
+masks, tap accumulation, lane-padded split groups).  These tests set
+``PRANET2_PALLAS_INTERPRET=1`` (see ops/_pallas.py) to run the actual
+kernels under the interpreter and pin them against the references.  They
+complement the ``-k tpu`` compiled-kernel tests, which additionally cover
+the Mosaic lowering.
+
+Marked slow: the interpreter is orders of magnitude slower than compiled
+code, so shapes here are minimal-but-representative (halo tiling is forced
+by monkeypatching the row-tile picker where the natural threshold would
+need huge inputs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(autouse=True)
+def _interpret_env(monkeypatch):
+    monkeypatch.setenv("PRANET2_PALLAS_INTERPRET", "1")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+
+
+# ---------------------------------------------------------------- pvt_mlp
+
+
+def _mlp_args(rng, n=1, h=6, w=8, d=32, c=64, dtype=jnp.float32):
+    mk = lambda s, sc=0.2: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), dtype)
+    return (x, mk((d,)) + 1.0, mk((d,)), mk((d, c)), mk((c,)),
+            mk((3, 3, c)), mk((c,)), mk((c, d)), mk((d,)))
+
+
+@pytest.mark.parametrize("ht", [None, 2])
+def test_mlp_kernel_interpret(rng, ht, monkeypatch):
+    from pranet2_tpu.ops import pvt_mlp
+
+    if ht is not None:  # force the halo-tiled grid on a small image
+        monkeypatch.setattr(pvt_mlp, "_pick_ht", lambda *a: ht)
+    a = _mlp_args(rng)
+    got = pvt_mlp.fused_mlp_block(*a)
+    want = pvt_mlp.reference_mlp_block(*a)
+    # f32 in/out but the kernel accumulates dwconv taps at the compute
+    # dtype and uses the polynomial erf; tolerance covers both
+    assert _rel_err(got, want) < 3e-3
+
+
+def test_mlp_kernel_interpret_bf16(rng, monkeypatch):
+    from pranet2_tpu.ops import pvt_mlp
+
+    monkeypatch.setattr(pvt_mlp, "_pick_ht", lambda *a: 3)
+    a = _mlp_args(rng, n=2, h=6, w=4, d=32, c=128, dtype=jnp.bfloat16)
+    got = pvt_mlp.fused_mlp_block(*a)
+    want = pvt_mlp.reference_mlp_block(*a)
+    assert _rel_err(got, want) < 0.04
+
+
+# ---------------------------------------------------------------- pvt_attn
+
+
+def test_sra_attention_kernel_interpret(rng, monkeypatch):
+    from pranet2_tpu.ops import pvt_attn
+
+    monkeypatch.setattr(pvt_attn, "_pick_ht", lambda *a: 3)
+    n, h, w, d, nh, tkv = 2, 6, 4, 32, 2, 6
+    hd = d // nh
+    mk = lambda s, sc=0.2: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), jnp.float32)
+    a = (x, mk((d,)) + 1.0, mk((d,)), mk((nh, d, hd)), mk((nh, hd)),
+         mk((n, nh, hd, tkv)), mk((n, nh, tkv, hd)), mk((d, d)), mk((d,)))
+    got = pvt_attn.fused_sra_attention(*a)
+    want = pvt_attn.reference_sra_attention(*a)
+    assert _rel_err(got, want) < 2e-5
+
+
+@pytest.mark.parametrize("sr,nh", [(2, 2), (1, 4)])
+def test_sra_block_kernel_interpret(rng, sr, nh):
+    from pranet2_tpu.ops import pvt_attn
+
+    n, h, w, d = 1, 6, 4, 32
+    hd = d // nh
+    mk = lambda s, sc=0.15: jnp.asarray(rng.standard_normal(s) * sc,
+                                        jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), jnp.float32)
+    if sr > 1:
+        wsr, lks, lkb = mk((sr * sr * d, d)), mk((d,)) + 1.0, mk((d,))
+    else:
+        wsr = jnp.zeros((1, d), jnp.float32)
+        lks, lkb = jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)
+    a = (x, mk((d,)) + 1.0, mk((d,)), mk((nh, d, hd)), mk((nh, hd)),
+         wsr, mk((d,)), lks, lkb, mk((d, 2 * d)), mk((2 * d,)),
+         mk((d, d)), mk((d,)))
+    got = pvt_attn.fused_sra_block(*a, sr, nh)
+    want = pvt_attn.reference_sra_block(*a, sr=sr, nh=nh)
+    assert _rel_err(got, want) < 2e-5
+
+
+# -------------------------------------------------------------- res2_block
+
+
+def _block_params(rng, cin, width):
+    mk = lambda s, sc: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    return (mk((cin, 4 * width), cin ** -0.5),
+            mk((4 * width,), 0.1) + 1.0, mk((4 * width,), 0.1),
+            mk((3, 3, 3 * width, width), 0.1),
+            mk((3, width), 0.1) + 1.0, mk((3, width), 0.1),
+            mk((4, width, cin), width ** -0.5),
+            mk((cin,), 0.1) + 1.0, mk((cin,), 0.1))
+
+
+@pytest.mark.parametrize("ht", [None, 4])
+def test_bottle2neck_kernel_interpret(rng, ht, monkeypatch):
+    from pranet2_tpu.ops import res2_block
+
+    if ht is not None:  # force the 3-row-halo tiled grid
+        monkeypatch.setattr(res2_block, "_pick_ht", lambda *a: ht)
+    cin, width = 64, 16
+    x = jnp.asarray(rng.standard_normal((1, 8, 6, cin)) * 0.5, jnp.float32)
+    p = _block_params(rng, cin, width)
+    got = res2_block.fused_bottle2neck(x, *p)
+    want = res2_block.reference_bottle2neck(x, *p)
+    assert _rel_err(got, want) < 2e-5

@@ -186,3 +186,91 @@ def test_attn_kernel_matches_reference_tpu(rng):
         want = np.asarray(jax.jit(reference_sra_attention)(*a), np.float32)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 0.04 * max(scale / 4, 1.0), (n, d)
+
+
+# ------------- fused SRA block v2 (whole attention half in-kernel) -------
+
+
+def _block_args(rng, n=2, h=12, w=8, d=64, nh=2, sr=2, dtype=jnp.float32):
+    mk = lambda s, sc=0.1: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    hd = d // nh
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), dtype)
+    if sr > 1:
+        wsr, lks, lkb = mk((sr * sr * d, d), 0.05), mk((d,)) + 1.0, mk((d,))
+    else:
+        wsr = jnp.zeros((1, d), jnp.float32)
+        lks, lkb = jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)
+    return (x, mk((d,)) + 1.0, mk((d,)), mk((nh, d, hd), 0.05), mk((nh, hd)),
+            wsr, mk((d,)), lks, lkb, mk((d, 2 * d), 0.05), mk((2 * d,)),
+            mk((d, d), 0.05), mk((d,)))
+
+
+def test_sra_block_fallback_matches_module_chain(rng):
+    """reference_sra_block == the unfused flax composition in pvtv2."""
+    from pranet2_tpu.ops.pvt_attn import reference_sra_block
+
+    for sr, nh in [(2, 2), (1, 4)]:
+        a = _block_args(rng, sr=sr, nh=nh)
+        (x, lns, lnb, wq, bq, wsr, bsr, lks, lkb, wkv, bkv, wp, bp) = a
+        n, h, w, d = x.shape
+        hd = d // nh
+        got = np.asarray(jax.jit(
+            lambda *A: reference_sra_block(*A, sr=sr, nh=nh))(*a))
+
+        y = nn.LayerNorm(epsilon=1e-6).apply(
+            {"params": {"scale": lns, "bias": lnb}}, x)
+        if sr > 1:
+            kvi = jax.lax.conv_general_dilated(
+                y, wsr.reshape(sr, sr, d, d), (sr, sr), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bsr
+            kvi = nn.LayerNorm(epsilon=1e-5).apply(
+                {"params": {"scale": lks, "bias": lkb}}, kvi)
+            kvi = kvi.reshape(n, -1, d)
+        else:
+            kvi = y.reshape(n, h * w, d)
+        kv = kvi @ wkv + bkv
+        k, v = kv[..., :d], kv[..., d:]
+        tkv = k.shape[1]
+        q = (y.reshape(n, h * w, d) @ wq.transpose(1, 0, 2).reshape(d, d))
+        q = q.reshape(n, h * w, nh, hd) + bq.reshape(1, 1, nh, hd)
+        o = jax.nn.dot_product_attention(
+            q, k.reshape(n, tkv, nh, hd), v.reshape(n, tkv, nh, hd))
+        want = x + (o.reshape(n, h * w, d) @ wp + bp).reshape(n, h, w, d)
+        np.testing.assert_allclose(got, np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_sra_block_grad_path_works(rng):
+    from pranet2_tpu.ops.pvt_attn import (fused_sra_block,
+                                          reference_sra_block)
+
+    a = _block_args(rng, n=1, h=6, w=4, d=32, nh=2, sr=2)
+    g = jax.grad(
+        lambda *A: jnp.sum(jnp.sin(fused_sra_block(*A, 2, 2))),
+        argnums=(0, 3, 5, 9, 11))(*a)
+    gr = jax.grad(
+        lambda *A: jnp.sum(jnp.sin(reference_sra_block(*A, sr=2, nh=2))),
+        argnums=(0, 3, 5, 9, 11))(*a)
+    for x, y in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a TPU backend")
+def test_sra_block_kernel_matches_reference_tpu(rng):
+    from pranet2_tpu.ops.pvt_attn import (fused_sra_block,
+                                          reference_sra_block)
+
+    for (n, h, w, d, nh, sr) in [(2, 88, 88, 64, 1, 8),
+                                 (2, 44, 44, 128, 2, 4),
+                                 (2, 22, 22, 320, 5, 2),
+                                 (2, 11, 11, 512, 8, 1)]:
+        a = _block_args(rng, n, h, w, d, nh, sr, dtype=jnp.bfloat16)
+        got = np.asarray(jax.jit(
+            lambda *A: fused_sra_block(*A, sr, nh))(*a), np.float32)
+        want = np.asarray(jax.jit(
+            lambda *A: reference_sra_block(*A, sr=sr, nh=nh))(*a),
+            np.float32)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 0.04 * max(scale / 4, 1.0), (d,)
