@@ -11,6 +11,13 @@ backend.
 import subprocess
 import sys
 
+import pytest
+
+# slow tier: the 4-device dryrun + entry() compile are ~25 min of XLA CPU
+# compile on the 1-vCPU dev host, and the driver exercises this exact
+# surface (dryrun_multichip + entry) at the end of every round anyway.
+pytestmark = pytest.mark.slow
+
 
 def test_dryrun_multichip_self_provisions():
     # Call through the PUBLIC entry point (subprocess re-exec inside), from a
