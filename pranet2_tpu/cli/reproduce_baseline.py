@@ -19,8 +19,9 @@ aliases (RES-V1 / PVT-V1 / RES-V2 / PVT-V2), the reference's nested
 normalized automatically (utils/torch_convert.py).
 
 The multiclass equivalent (Synapse/ACDC per-class Dice/HD95 tables from a
-released ``.pth``) is ``cli/test_multiclass.py --checkpoint model.pth``;
-``--multiclass`` here forwards to it for convenience.
+released ``.pth``) is ``cli/test_multiclass.py --checkpoint model.pth
+--volume_path … --list_dir …`` — it needs its own data paths, so it stays a
+separate command.
 """
 
 from __future__ import annotations

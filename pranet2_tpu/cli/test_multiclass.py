@@ -32,6 +32,10 @@ def main():
     p.add_argument("--expansion_factor", type=int, default=2)
     p.add_argument("--lgag_ks", type=int, default=3)
     p.add_argument("--activation_mscb", default="relu6")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype (bfloat16 for fast eval; "
+                        "float32 for checkpoint-parity numbers)")
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"])
     args = p.parse_args()

@@ -17,7 +17,8 @@ def build_model(name: str, num_classes: int, args):
 
     from pranet2_tpu.models import get_model
 
-    dt = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    # callers without a --dtype flag (e.g. test CLIs) get f32
+    dt = jnp.bfloat16 if getattr(args, "dtype", None) == "bfloat16" else None
     if name == "emcad":
         return get_model(
             "emcad", num_classes=num_classes, encoder=args.encoder,
