@@ -92,26 +92,61 @@ def test_sra_attention_kernel_interpret(rng, monkeypatch):
     assert _rel_err(got, want) < 2e-5
 
 
-@pytest.mark.parametrize("sr,nh", [(2, 2), (1, 4)])
-def test_sra_block_kernel_interpret(rng, sr, nh):
-    from pranet2_tpu.ops import pvt_attn
-
-    n, h, w, d = 1, 6, 4, 32
+def _sra_block_args(rng, n, h, w, d, nh, sr, dtype=jnp.float32):
     hd = d // nh
     mk = lambda s, sc=0.15: jnp.asarray(rng.standard_normal(s) * sc,
                                         jnp.float32)
-    x = jnp.asarray(rng.standard_normal((n, h, w, d)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, h, w, d)), dtype)
     if sr > 1:
         wsr, lks, lkb = mk((sr * sr * d, d)), mk((d,)) + 1.0, mk((d,))
     else:
         wsr = jnp.zeros((1, d), jnp.float32)
         lks, lkb = jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32)
-    a = (x, mk((d,)) + 1.0, mk((d,)), mk((nh, d, hd)), mk((nh, hd)),
-         wsr, mk((d,)), lks, lkb, mk((d, 2 * d)), mk((2 * d,)),
-         mk((d, d)), mk((d,)))
+    return (x, mk((d,)) + 1.0, mk((d,)), mk((nh, d, hd)), mk((nh, hd)),
+            wsr, mk((d,)), lks, lkb, mk((d, 2 * d)), mk((2 * d,)),
+            mk((d, d)), mk((d,)))
+
+
+# (sr, nh) covers every PVTv2-b2 stage config: stage1 (8,1), stage2 (4,2),
+# stage3 (2,5), stage4 (1,8) — sr=8 exercises the tkv=1 edge and the
+# widest patch regroup; nh=5 a head count that does not divide the lanes
+@pytest.mark.parametrize("sr,nh", [(8, 1), (4, 2), (2, 5), (1, 8)])
+def test_sra_block_kernel_interpret(rng, sr, nh):
+    from pranet2_tpu.ops import pvt_attn
+
+    n, h, w, d = 1, 8, 8, 40 if nh == 5 else 32
+    a = _sra_block_args(rng, n, h, w, d, nh, sr)
     got = pvt_attn.fused_sra_block(*a, sr, nh)
     want = pvt_attn.reference_sra_block(*a, sr=sr, nh=nh)
     assert _rel_err(got, want) < 2e-5
+
+
+def test_sra_block_kernel_interpret_bf16(rng):
+    from pranet2_tpu.ops import pvt_attn
+
+    a = _sra_block_args(rng, 2, 8, 4, 32, 2, 2, dtype=jnp.bfloat16)
+    got = pvt_attn.fused_sra_block(*a, 2, 2)
+    want = pvt_attn.reference_sra_block(*a, sr=2, nh=2)
+    assert _rel_err(got, want) < 0.05
+
+
+def test_sra_block_grad_routes_through_reference(rng):
+    # the custom VJP must differentiate (via the XLA composition) even when
+    # the forward ran the interpreted kernel
+    from pranet2_tpu.ops import pvt_attn
+
+    a = _sra_block_args(rng, 1, 4, 4, 16, 2, 2)
+
+    def loss(x, wkv):
+        args = (x,) + a[1:9] + (wkv,) + a[10:]
+        return jnp.sum(pvt_attn.fused_sra_block(*args, 2, 2) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(a[0], a[9])
+    rx, rw = jax.grad(
+        lambda x, wkv: jnp.sum(pvt_attn.reference_sra_block(
+            x, *a[1:9], wkv, *a[10:], sr=2, nh=2) ** 2),
+        argnums=(0, 1))(a[0], a[9])
+    assert _rel_err(gx, rx) < 1e-4 and _rel_err(gw, rw) < 1e-4
 
 
 # -------------------------------------------------------------- res2_block
