@@ -111,7 +111,9 @@ def test_pvtv2_sra_attention_parity(rng):
     fvars = convert_state_dict(sd, lambda p: (p,))
 
     m = _SRAttention(dim=dim, num_heads=heads, sr_ratio=1)
+    # module takes NHWC maps; the 16 tokens are a 4x4 map
     got = np.asarray(
-        m.apply({"params": fvars["params"]}, jnp.asarray(x), (4, 4))
-    )
+        m.apply({"params": fvars["params"]},
+                jnp.asarray(x).reshape(2, 4, 4, dim))
+    ).reshape(2, 16, dim)
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
