@@ -288,12 +288,28 @@ def fused_sra_block(x, lns, lnb, wq, bq, wsr, bsr, lks, lkb, wkv, bkv,
                     wp, bp, sr, nh, eps)
 
 
+def _vmem_estimate_v2(h, w, d, sr):
+    """Rough per-image VMEM working set (bytes) of _kernel_v2.
+
+    bf16 x/y/patches/out blocks plus the f32 q/s/p/o/proj/residual
+    intermediates of ``_attend`` (t*d and t*tkv tensors dominate).
+    """
+    t = h * w
+    tkv = t // (sr * sr)
+    return t * (d * 22 + tkv * 12) + tkv * sr * sr * d * 2
+
+
+# the chip has 128M VMEM; leave headroom for Mosaic's own scratch
+_VMEM_BUDGET_V2 = 100 * 1024 * 1024
+
+
 def _impl_v2(x, lns, lnb, wq, bq, wsr, bsr, lks, lkb, wkv, bkv, wp, bp,
              sr, nh, eps):
     from pranet2_tpu.ops._pallas import interpret_mode, use_kernel
 
     n, h, w, d = x.shape
-    shapes_ok = sr == 1 or (h % sr == 0 and w % sr == 0)
+    shapes_ok = (sr == 1 or (h % sr == 0 and w % sr == 0)) \
+        and _vmem_estimate_v2(h, w, d, sr) <= _VMEM_BUDGET_V2
     if not (use_kernel(_HAS_PLTPU) and shapes_ok):
         return reference_sra_block(x, lns, lnb, wq, bq, wsr, bsr, lks, lkb,
                                    wkv, bkv, wp, bp, sr=sr, nh=nh, eps=eps)
@@ -317,6 +333,10 @@ def _impl_v2(x, lns, lnb, wq, bq, wsr, bsr, lks, lkb, wkv, bkv, wp, bp,
     return pl.pallas_call(
         functools.partial(_kernel_v2, sr=sr, nh=nh),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d), dt),
+        # whole-image working set: stage-1 (88x88) peaks ~22M, well over the
+        # 16M default scoped-vmem limit; the guard above bounds it to budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret_mode(),
         grid=(n,),
         in_specs=[
