@@ -104,8 +104,14 @@ def main():
 
     rows = []
     for name in args.models:
-        res = bench_model(name, args.batch_sizes, args.testsize, args.iters,
-                          args.dtype, windows=args.windows)
+        try:
+            res = bench_model(name, args.batch_sizes, args.testsize,
+                              args.iters, args.dtype, windows=args.windows)
+        except Exception as e:
+            # a fused-kernel compile failure on one model must not kill the
+            # whole table; report it and keep benchmarking the rest
+            print(f"{name}: FAILED ({type(e).__name__}: {e})")
+            continue
         ref = REFERENCE_FPS.get(name)
         for bs, r in zip(args.batch_sizes, res):
             row = dict(model=name, bs=bs, fps=round(r["best"], 1),
