@@ -274,3 +274,26 @@ def test_sra_block_kernel_matches_reference_tpu(rng):
             np.float32)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 0.04 * max(scale / 4, 1.0), (d,)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="full-model fused-path parity needs the chip")
+@pytest.mark.parametrize("model_name", ["pvt_pranet_v2", "pranet_v2"])
+def test_full_model_fused_vs_unfused_tpu(rng, model_name, monkeypatch):
+    """End-to-end guard for the driver bench: the bf16 fused auto path
+    (Pallas MLP/attention kernels, s2d stem) must match the plain-XLA
+    bf16 model (PRANET2_NO_FUSED=1) on the same params at bf16 tolerance,
+    at the real benchmark shape."""
+    from pranet2_tpu.models import get_model
+
+    x = jnp.asarray(rng.standard_normal((2, 352, 352, 3)), jnp.float32)
+    monkeypatch.delenv("PRANET2_NO_FUSED", raising=False)
+    m = get_model(model_name, num_class=1, dtype=jnp.bfloat16)
+    v = jax.jit(m.init)(jax.random.key(0), x)
+    fused = [np.asarray(o, np.float32) for o in jax.jit(m.apply)(v, x)]
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    m2 = get_model(model_name, num_class=1, dtype=jnp.bfloat16)
+    plain = [np.asarray(o, np.float32) for o in jax.jit(m2.apply)(v, x)]
+    for a, b in zip(fused, plain):
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 0.08, model_name
