@@ -297,16 +297,15 @@ class PVTv2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        import os
+        from pranet2_tpu.ops._pallas import component_enabled
 
-        auto = dt == jnp.bfloat16 and not os.environ.get("PRANET2_NO_FUSED")
         fused = self.fused_mlp
         if fused is None:
-            fused = auto
+            fused = component_enabled("mlp", dt == jnp.bfloat16)
         fused = (fused,) * 4 if isinstance(fused, bool) else tuple(fused)
         fattn = self.fused_attn
         if fattn is None:
-            fattn = auto
+            fattn = component_enabled("attn", dt == jnp.bfloat16)
         fattn = (fattn,) * 4 if isinstance(fattn, bool) else tuple(fattn)
         deterministic = not train
         total = sum(self.depths)

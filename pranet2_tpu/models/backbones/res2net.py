@@ -168,8 +168,9 @@ class Res2Net(nn.Module):
     # waste; kernel 2.0 ms/block at layer-1 vs XLA's ~0.75) or unaligned
     # lane slices Mosaic scalarizes (compile did not finish in 9 min).
     # Kept for shapes where it ties/wins (width>=104 synthetic chains) and
-    # as the starting point for a channel-major rewrite.
-    fused: bool = False
+    # as the starting point for a channel-major rewrite.  None = env auto
+    # (PRANET2_FUSED="res2block" opts in).
+    fused: bool | None = None
     # space-to-depth stem (ops/stem.py): exact restructure of the v1b deep
     # stem into dense-channel convs.  None = auto: on for the bf16 eval
     # speed path.
@@ -178,13 +179,14 @@ class Res2Net(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        from pranet2_tpu.ops._pallas import component_enabled
+
         fused = self.fused
+        if fused is None:
+            fused = component_enabled("res2block", dt == jnp.bfloat16)
         s2d = self.s2d_stem
         if s2d is None:
-            import os
-
-            s2d = (dt == jnp.bfloat16
-                   and not os.environ.get("PRANET2_NO_FUSED"))
+            s2d = component_enabled("s2d", dt == jnp.bfloat16)
 
         def conv(feats, k, s, name, pad=0):
             return nn.Conv(

@@ -29,3 +29,21 @@ def interpret_mode() -> bool:
     """True when kernels must run under the Pallas interpreter (off-TPU)."""
     return (os.environ.get("PRANET2_PALLAS_INTERPRET") == "1"
             and jax.default_backend() != "tpu")
+
+
+def component_enabled(name: str, dtype_ok: bool) -> bool:
+    """Auto-enable decision for one fused component (``mlp``, ``attn``,
+    ``s2d``, ``res2block``).
+
+    Read at trace time.  Default: on exactly when the model computes in
+    bfloat16 (the fast path) and ``PRANET2_NO_FUSED`` is unset.
+    ``PRANET2_FUSED="mlp,attn"`` overrides the set of enabled components
+    explicitly (still gated on the bf16 dtype) — the per-component
+    ablation knob tools/exp_ablate_fused.py uses.
+    """
+    if not dtype_ok or os.environ.get("PRANET2_NO_FUSED"):
+        return False
+    explicit = os.environ.get("PRANET2_FUSED")
+    if explicit is not None:
+        return name in {c.strip() for c in explicit.split(",")}
+    return name != "res2block"  # measured negative at reference widths
