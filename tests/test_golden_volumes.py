@@ -189,3 +189,56 @@ def test_volume_pipeline_parity(setup, which, mode):
     # well under a percent of dice
     np.testing.assert_allclose(got, want, atol=5e-3,
                                err_msg=f"{which}/{mode}")
+
+
+def test_cli_acdc_disk_format_parity(setup, tmp_path, capsys, monkeypatch):
+    """The ACDC analogue of the Synapse disk test: volumes as the ACDC
+    release's per-volume ``.npz`` (keys img/label, list entries carry the
+    extension — ``MERIT/utils/dataset_ACDC.py:104-116``), the MERIT test
+    pipeline (``MERIT/utils/utils.py:172-206``, dual combine = fg - bg) vs
+    our ``cli/test_multiclass.py --dataset acdc --mode fg_minus_bg`` driven
+    through argv on the same files."""
+    import re
+    import sys
+
+    ref, ours, fvars, vols = setup
+
+    vol_dir = tmp_path / "acdc"
+    list_dir = tmp_path / "lists"
+    vol_dir.mkdir()
+    list_dir.mkdir()
+    names = []
+    for i, (img, lab) in enumerate(vols):
+        name = f"case{i:03d}_volume_ES.npz"
+        names.append(name)
+        np.savez(vol_dir / name, img=img, label=lab)
+    (list_dir / "test.txt").write_text("\n".join(names) + "\n")
+    pth = tmp_path / "plain.pth"
+    torch.save(ref.state_dict(), pth)
+
+    # ---- the reference's MERIT slice pipeline (fg - bg combine) ----
+    want = _reference_metrics(ref, vols, "MERIT")  # (cases, classes-1, 4)
+
+    # ---- our CLI on the same .npz + lists ----
+    from pranet2_tpu.cli import test_multiclass as cli
+
+    monkeypatch.setattr(sys, "argv", [
+        "test_multiclass", "--model", "emcad", "--encoder", "pvt_v2_b0",
+        "--activation_mscb", "relu", "--dataset", "acdc",
+        "--num_classes", str(N_CLS), "--img_size", str(PATCH),
+        "--volume_path", str(vol_dir), "--list_dir", str(list_dir),
+        "--checkpoint", str(pth), "--mode", "fg_minus_bg",
+    ])
+    cli.main()
+    out = capsys.readouterr().out
+
+    got_case = {
+        m.group(1): (float(m.group(2)), float(m.group(3)))
+        for m in re.finditer(
+            r"^(\S+\.npz): mean_dice ([\d.]+) mean_hd95 ([\d.]+)", out, re.M)
+    }
+    assert set(got_case) == set(names), out
+    for i, name in enumerate(names):
+        np.testing.assert_allclose(
+            got_case[name], [want[i, :, 0].mean(), want[i, :, 1].mean()],
+            atol=5e-3, err_msg=f"{name}\n{out}")
