@@ -68,8 +68,7 @@ class BinaryPredictor:
 
             self._pool = ThreadPoolExecutor(max_workers=host_workers)
 
-        @jax.jit
-        def fwd(v, x):
+        def fwd_body(v, x):
             outs = self.model.apply(v, x)
             logits = (outs[0] + outs[1] + outs[2] + outs[3]) if self.v2 else outs[3]
             if exact_postproc:
@@ -80,7 +79,29 @@ class BinaryPredictor:
             p = (p - lo) / (hi - lo + 1e-8)
             return (p * 255.0).astype(jnp.uint8)
 
-        self._fwd = fwd
+        if mesh is not None:
+            # shard_map, not bare GSPMD: every op in the forward is
+            # batch-independent in eval (BN = running stats, min-max is
+            # per-image), so the per-shard program is exact — and opaque
+            # custom calls (the Pallas kernels on the bf16 path) partition
+            # along batch instead of being gathered + replicated, which is
+            # what GSPMD falls back to for ops it has no sharding rule for.
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map  # jax >= 0.6
+                fwd_body = shard_map(fwd_body, mesh=mesh,
+                                     in_specs=(P(), P("data")),
+                                     out_specs=P("data"),
+                                     check_vma=False)
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+                fwd_body = shard_map(fwd_body, mesh=mesh,
+                                     in_specs=(P(), P("data")),
+                                     out_specs=P("data"),
+                                     check_rep=False)
+
+        self._fwd = jax.jit(fwd_body)
 
     def warmup(self):
         x = jnp.zeros((self.batch_size, self.testsize, self.testsize, 3))
