@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_binary_predictor_end_to_end(rng):
@@ -81,3 +82,31 @@ def test_predictor_mesh_sharded_matches_single(rng):
     out_a, out_b = single(images), sharded(images)
     for a, b in zip(out_a, out_b):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_predictor_mesh_bf16_fused_interpret(rng, monkeypatch):
+    """Mesh serving on the bf16 fused path: shard_map must keep the Pallas
+    kernels partitioned along the batch (not gathered + replicated) and the
+    masks must match the unsharded bf16 predictor.  Kernels run under the
+    Pallas interpreter off-TPU (ops/_pallas.py)."""
+    from pranet2_tpu.models import get_model
+    from pranet2_tpu.parallel import make_mesh
+    from pranet2_tpu.serve import BinaryPredictor
+
+    monkeypatch.setenv("PRANET2_PALLAS_INTERPRET", "1")
+    model = get_model("pvt_pranet_v2", num_class=1, dtype=jnp.bfloat16)
+    v = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    images = [
+        (rng.random((48, 56, 3)) * 255).astype(np.uint8) for _ in range(8)
+    ]
+    single = BinaryPredictor("pvt_pranet_v2", v, batch_size=8, testsize=64,
+                             dtype=jnp.bfloat16)
+    sharded = BinaryPredictor("pvt_pranet_v2", v, batch_size=8, testsize=64,
+                              dtype=jnp.bfloat16, mesh=make_mesh())
+    a = single(images)
+    b = sharded(images)
+    assert len(a) == len(b) == 8
+    for x, y in zip(a, b):
+        # bf16 kernels, identical program per shard — small uint8 jitter ok
+        assert np.mean(np.abs(x.astype(np.int32) - y.astype(np.int32))) < 1.0
