@@ -63,6 +63,40 @@ class _BNParams(nn.Module):
         return scale, bias, mean.value, var.value
 
 
+class _Bottle2neckParams(nn.Module):
+    """Declares one Bottle2neck's full param tree (same child names as the
+    module path) and returns folded-BN tensors for the packed layer-1 path
+    (ops/res2_packed.py).  Eval-only by construction (BN folding)."""
+
+    planes: int
+    has_downsample: bool = False
+    base_width: int = 26
+    scale: int = 4
+
+    @nn.compact
+    def __call__(self, cin: int):
+        from pranet2_tpu.ops.res2_block import fold_bn
+
+        width = int(math.floor(self.planes * (self.base_width / 64.0)))
+        p = {}
+        k1 = _ConvParams(width * self.scale, 1, name="conv1")(cin)
+        p["w1"] = k1.reshape(cin, width * self.scale)
+        p["f1"] = fold_bn(*_BNParams(name="bn1")(width * self.scale))
+        p["kd"], p["fd"] = [], []
+        for i in range(self.scale - 1):
+            p["kd"].append(_ConvParams(width, 3, name=f"convs_{i}")(width))
+            p["fd"].append(fold_bn(*_BNParams(name=f"bns_{i}")(width)))
+        k3 = _ConvParams(self.planes * 4, 1, name="conv3")(width * self.scale)
+        p["w3"] = k3.reshape(width * self.scale, self.planes * 4)
+        p["f3"] = fold_bn(*_BNParams(name="bn3")(self.planes * 4))
+        if self.has_downsample:
+            kd = _ConvParams(self.planes * 4, 1, name="downsample_1")(cin)
+            p["wdown"] = kd.reshape(cin, self.planes * 4)
+            p["fdown"] = fold_bn(
+                *_BNParams(name="downsample_2")(self.planes * 4))
+        return p
+
+
 class Bottle2neck(nn.Module):
     planes: int
     stride: int = 1
@@ -175,6 +209,11 @@ class Res2Net(nn.Module):
     # stem into dense-channel convs.  None = auto: on for the bf16 eval
     # speed path.
     s2d_stem: bool | None = None
+    # space-to-depth layer 1 (ops/res2_packed.py): run all three 88x88
+    # Bottle2necks on the 2x2 packed grid so the 26-wide split tensors pad
+    # 1.23x instead of 4.9x.  None = env auto (PRANET2_FUSED="l1pack" opts
+    # in; default OFF until measured on-chip).  Eval-only (folded BN).
+    l1_packed: bool | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -187,6 +226,9 @@ class Res2Net(nn.Module):
         s2d = self.s2d_stem
         if s2d is None:
             s2d = component_enabled("s2d", dt == jnp.bfloat16)
+        l1pack = self.l1_packed
+        if l1pack is None:
+            l1pack = component_enabled("l1pack", dt == jnp.bfloat16)
 
         def conv(feats, k, s, name, pad=0):
             return nn.Conv(
@@ -226,6 +268,25 @@ class Res2Net(nn.Module):
             zip((64, 128, 256, 512), self.layers), start=1
         ):
             stride = 1 if li == 1 else 2
+            if (li == 1 and l1pack and not train and self.scale == 4
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+                from pranet2_tpu.ops.res2_packed import (
+                    bottle2neck_q, pack2, unpack2,
+                )
+
+                cdt = dt or jnp.float32
+                xp = pack2(x)
+                for bi in range(blocks):
+                    has_ds = bi == 0 and inplanes != planes * 4
+                    p = _Bottle2neckParams(
+                        planes, has_ds, self.base_width, self.scale,
+                        name=f"layer{li}_{bi}")(xp.shape[-1])
+                    xp = bottle2neck_q(
+                        xp, p, cdt, stype="stage" if bi == 0 else "normal")
+                x = unpack2(xp)
+                inplanes = planes * 4
+                feats.append(x)
+                continue
             for bi in range(blocks):
                 if bi == 0:
                     has_ds = stride != 1 or inplanes != planes * 4

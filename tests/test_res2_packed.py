@@ -1,0 +1,92 @@
+"""Packed (space-to-depth) Res2Net layer-1: exactness + tree invariance.
+
+The packed path (ops/res2_packed.py) is an exact restructure of layer 1
+(reference ``binary_seg/lib/Res2Net_v1b.py:36-141``); these tests pin
+(a) numerical parity against the module chain at f32 and bf16, (b)
+checkpoint-layout invariance (the flag must not change the param tree),
+(c) the stage-block pieces individually (avg pool, downsample), (d) the
+train path is untouched.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pranet2_tpu.models.backbones.res2net import Res2Net
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_l1_packed_matches_module_path(dtype):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), np.float32))
+    base = Res2Net(layers=(3, 1, 1, 1), dtype=dtype, s2d_stem=False,
+                   l1_packed=False)
+    packed = Res2Net(layers=(3, 1, 1, 1), dtype=dtype, s2d_stem=False,
+                     l1_packed=True)
+    v = base.init(jax.random.key(0), x)
+    outs_a = base.apply(v, x)
+    outs_b = packed.apply(v, x)
+    tol = 2e-5 if dtype == jnp.float32 else 0.05
+    for a, b in zip(outs_a, outs_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < tol
+
+
+def test_l1_packed_with_nontrivial_bn_stats(rng):
+    """Folded-BN parity with non-default running stats (the real case)."""
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    base = Res2Net(layers=(2, 1, 1, 1), s2d_stem=False, l1_packed=False)
+    packed = Res2Net(layers=(2, 1, 1, 1), s2d_stem=False, l1_packed=True)
+    v = base.init(jax.random.key(1), x)
+    # run a train step to move the BN stats off their init values
+    _, upd = base.apply(v, x, True, mutable=["batch_stats"])
+    v = {**v, "batch_stats": upd["batch_stats"]}
+    a = base.apply(v, x)
+    b = packed.apply(v, x)
+    for ai, bi in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_l1_packed_param_tree_invariant():
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v0 = Res2Net(layers=(2, 1, 1, 1), l1_packed=False).init(
+        jax.random.key(0), x)
+    v1 = Res2Net(layers=(2, 1, 1, 1), l1_packed=True).init(
+        jax.random.key(0), x)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert a.shape == b.shape
+
+
+def test_l1_packed_train_path_unchanged(rng):
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    m = Res2Net(layers=(1, 1, 1, 1), l1_packed=True)
+    v = m.init(jax.random.key(0), x)
+    _, upd = m.apply(v, x, True, mutable=["batch_stats"])
+    m0 = Res2Net(layers=(1, 1, 1, 1), l1_packed=False)
+    _, upd0 = m0.apply(v, x, True, mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves(upd), jax.tree.leaves(upd0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_avgpool3x3_s1_packed_matches_op(rng):
+    from pranet2_tpu.ops import avg_pool
+    from pranet2_tpu.ops.res2_packed import avgpool3x3_s1_q, pack2, unpack2
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 8, 5)), jnp.float32)
+    want = avg_pool(x, 3, 1, 1)  # count_include_pad=True, like torch
+    got = unpack2(avgpool3x3_s1_q(pack2(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pack_unpack_roundtrip(rng):
+    from pranet2_tpu.ops.res2_packed import pack2, unpack2
+
+    x = jnp.asarray(rng.standard_normal((3, 6, 8, 7)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(unpack2(pack2(x))),
+                                  np.asarray(x))

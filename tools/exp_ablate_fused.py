@@ -68,6 +68,7 @@ def main():
         ("pvt_pranet_v2", "mlp,attn"),
         ("pranet_v2", ""),
         ("pranet_v2", "s2d"),
+        ("pranet_v2", "s2d,l1pack"),
     ]
     if os.environ.get("RES2_FUSED_ROW"):
         rows.append(("pranet_v2", "s2d,res2block"))
