@@ -132,8 +132,13 @@ def main():
                          ("pranet_v2", 32, jnp.bfloat16),
                          ("pvt_pranet_v2", 16, None),
                          ("pvt_pranet_v2", 16, jnp.bfloat16)]:
-        ms, fps, cost = bench_binary(name, bs=bs, dtype=dt)
         tag = "bf16" if dt is not None else "f32"
+        try:
+            ms, fps, cost = bench_binary(name, bs=bs, dtype=dt)
+        except Exception as e:  # one row's failure must not kill the table
+            print(f"{name:16s} bs={bs:3d} {tag}: FAILED "
+                  f"{type(e).__name__}: {e}")
+            continue
         print(f"{name:16s} bs={bs:3d} {tag}: {ms:7.2f} ms/step, "
               f"{fps:7.1f} img/s, {_fmt_cost(ms, cost, peak)}")
     for name, bs, size, dt, remat in [
@@ -144,9 +149,14 @@ def main():
         ("mist", 4, 224, jnp.bfloat16, False),
         ("mist", 4, 224, jnp.bfloat16, True),
     ]:
-        ms, fps, cost = bench_multiclass(name, bs=bs, size=size, dtype=dt,
-                                         remat=remat)
         tag = ("bf16" if dt is not None else "f32") + ("+remat" if remat else "")
+        try:
+            ms, fps, cost = bench_multiclass(name, bs=bs, size=size, dtype=dt,
+                                             remat=remat)
+        except Exception as e:
+            print(f"{name:16s} bs={bs:3d} MUTATION dual {tag}: FAILED "
+                  f"{type(e).__name__}: {e}")
+            continue
         print(f"{name:16s} bs={bs:3d} MUTATION dual {tag}: {ms:7.2f} ms/step, "
               f"{fps:7.1f} img/s, {_fmt_cost(ms, cost, peak)}")
 
