@@ -187,6 +187,35 @@ class _ConvBiasParams(nn.Module):
         return k, b
 
 
+class _SRAttnParams(nn.Module):
+    """Declares the norm1+_SRAttention child tree (q/sr/norm/kv/proj) and
+    returns the kernel-layout tensors ``fused_sra_block``/``fused_pvt_block``
+    take.  Same names/shapes as the module path — one checkpoint layout."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self):
+        c, nh, sr = self.dim, self.num_heads, self.sr_ratio
+        hd = c // nh
+        wq, bq = _DenseParams(c, name="q")(c)
+        wp, bp = _DenseParams(c, name="proj")(c)
+        if sr > 1:
+            ksr, bsr = _ConvBiasParams(c, sr, name="sr")(c)
+            wsr = ksr.reshape(sr * sr * c, c)
+            lks, lkb = _LNParams(name="norm")(c)
+        else:
+            wsr = jnp.zeros((1, c), jnp.float32)
+            bsr = jnp.zeros((c,), jnp.float32)
+            lks = jnp.ones((c,), jnp.float32)
+            lkb = jnp.zeros((c,), jnp.float32)
+        wkv, bkv = _DenseParams(2 * c, name="kv")(c)
+        return (wq.reshape(c, nh, hd).transpose(1, 0, 2), bq.reshape(nh, hd),
+                wsr, bsr, lks, lkb, wkv, bkv, wp, bp)
+
+
 class _FusedSRAttention(nn.Module):
     """Same param tree as norm1+_SRAttention, fused-kernel compute.
 
@@ -238,6 +267,7 @@ class _Block(nn.Module):
     dtype: jnp.dtype | None = None
     fused_mlp: bool = False
     fused_attn: bool = False
+    fused_block: bool = False  # whole-block kernel (ops/pvt_block.py)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -246,6 +276,21 @@ class _Block(nn.Module):
         if not deterministic and self.drop_path > 0:
             rng = self.make_rng("dropout")
             rng1, rng2 = jax.random.split(rng)
+        if self.fused_block and deterministic:
+            # attention AND MLP halves in one per-image Pallas pass —
+            # the residual stream and the 8x hidden never touch HBM
+            from pranet2_tpu.ops.pvt_block import fused_pvt_block
+
+            lns1, lnb1 = _LNParams(name="norm1")(self.dim)
+            ap = _SRAttnParams(self.dim, self.num_heads, self.sr_ratio,
+                               name="attn")()
+            lns2, lnb2 = _LNParams(name="norm2")(self.dim)
+            w1, b1, dwk, dwb, w2, b2 = _MlpParams(
+                self.dim * self.mlp_ratio, self.dim,
+                name="mlp")(self.dim)
+            return fused_pvt_block(
+                x, lns1, lnb1, *ap, lns2, lnb2, w1, b1, dwk[:, :, 0, :],
+                dwb, w2, b2, self.sr_ratio, self.num_heads, 1e-6, 1e-6)
         if self.fused_attn and deterministic:
             lns1, lnb1 = _LNParams(name="norm1")(self.dim)
             x = _FusedSRAttention(self.dim, self.num_heads, self.sr_ratio,
@@ -290,9 +335,13 @@ class PVTv2(nn.Module):
     # fuse each block's LN+MLP / LN+attention chains into single Pallas
     # passes (ops/pvt_mlp.py, ops/pvt_attn.py).  None = auto: fused on the
     # bf16 speed path, reference module chain for f32 parity paths.
+    # fused_block (ops/pvt_block.py) runs BOTH halves in one per-image
+    # pass and takes precedence; None = env auto (PRANET2_FUSED=blockfuse
+    # opts in — default OFF until measured on-chip).
     # Per-stage tuple overrides allowed.
     fused_mlp: bool | tuple[bool, ...] | None = None
     fused_attn: bool | tuple[bool, ...] | None = None
+    fused_block: bool | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -307,6 +356,9 @@ class PVTv2(nn.Module):
         if fattn is None:
             fattn = component_enabled("attn", dt == jnp.bfloat16)
         fattn = (fattn,) * 4 if isinstance(fattn, bool) else tuple(fattn)
+        fblock = self.fused_block
+        if fblock is None:
+            fblock = component_enabled("blockfuse", dt == jnp.bfloat16)
         deterministic = not train
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
@@ -328,6 +380,7 @@ class PVTv2(nn.Module):
                 x = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
                            _SR_RATIOS[si], dpr[cur + bi], dt,
                            fused_mlp=fused[si], fused_attn=fattn[si],
+                           fused_block=fblock,
                            name=f"block{si + 1}_{bi}")(x, deterministic)
             cur += self.depths[si]
             x = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,

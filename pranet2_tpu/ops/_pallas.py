@@ -46,6 +46,6 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     explicit = os.environ.get("PRANET2_FUSED")
     if explicit is not None:
         return name in {c.strip() for c in explicit.split(",")}
-    # res2block: measured negative at reference widths; l1pack: awaiting
-    # on-chip measurement — both opt-in via PRANET2_FUSED until then
-    return name not in ("res2block", "l1pack")
+    # res2block: measured negative at reference widths; l1pack/blockfuse:
+    # awaiting on-chip measurement — all opt-in via PRANET2_FUSED until then
+    return name not in ("res2block", "l1pack", "blockfuse")

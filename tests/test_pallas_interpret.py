@@ -174,3 +174,56 @@ def test_bottle2neck_kernel_interpret(rng, ht, monkeypatch):
     got = res2_block.fused_bottle2neck(x, *p)
     want = res2_block.reference_bottle2neck(x, *p)
     assert _rel_err(got, want) < 2e-5
+
+
+# -------------------------------------------------------------- pvt_block
+
+
+def _pvt_block_args(rng, n, h, w, d, nh, sr, c_ratio=4, dtype=jnp.float32):
+    a = _sra_block_args(rng, n, h, w, d, nh, sr, dtype)
+    mk = lambda s, sc=0.15: jnp.asarray(rng.standard_normal(s) * sc,
+                                        jnp.float32)
+    c = d * c_ratio
+    return a + (mk((d,)) + 1.0, mk((d,)), mk((d, c), 0.08), mk((c,)),
+                mk((3, 3, c)), mk((c,)), mk((c, d), 0.08), mk((d,)))
+
+
+@pytest.mark.parametrize("sr,nh", [(8, 1), (4, 2), (2, 5), (1, 8)])
+def test_pvt_block_kernel_interpret(rng, sr, nh):
+    """Whole-block (attn+MLP) kernel vs the chained XLA references at every
+    PVTv2-b2 stage config."""
+    from pranet2_tpu.ops.pvt_block import fused_pvt_block, reference_pvt_block
+
+    n, h, w, d = 1, 8, 8, 40 if nh == 5 else 32
+    a = _pvt_block_args(rng, n, h, w, d, nh, sr)
+    got = fused_pvt_block(*a, sr, nh)
+    want = reference_pvt_block(*a, sr=sr, nh=nh)
+    # the erf-GELU polynomial bounds the agreement (|err| < 2e-3 on the
+    # hidden activations)
+    assert _rel_err(got, want) < 5e-3
+
+
+def test_pvt_block_kernel_interpret_bf16(rng):
+    from pranet2_tpu.ops.pvt_block import fused_pvt_block, reference_pvt_block
+
+    a = _pvt_block_args(rng, 2, 8, 4, 32, 2, 2, dtype=jnp.bfloat16)
+    got = fused_pvt_block(*a, 2, 2)
+    want = reference_pvt_block(*a, sr=2, nh=2)
+    assert _rel_err(got, want) < 0.05
+
+
+def test_pvt_block_grad_routes_through_reference(rng):
+    from pranet2_tpu.ops.pvt_block import fused_pvt_block, reference_pvt_block
+
+    a = _pvt_block_args(rng, 1, 4, 4, 16, 2, 2)
+
+    def loss(x, w1):
+        args = a[:15] + (w1,) + a[16:]
+        return jnp.sum(fused_pvt_block(x, *args[1:], 2, 2) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(a[0], a[15])
+    rx, rw = jax.grad(
+        lambda x, w1: jnp.sum(reference_pvt_block(
+            x, *a[1:15], w1, *a[16:], sr=2, nh=2) ** 2),
+        argnums=(0, 1))(a[0], a[15])
+    assert _rel_err(gx, rx) < 2e-2 and _rel_err(gw, rw) < 2e-2

@@ -297,3 +297,50 @@ def test_full_model_fused_vs_unfused_tpu(rng, model_name, monkeypatch):
     for a, b in zip(fused, plain):
         scale = max(np.abs(b).max(), 1.0)
         assert np.abs(a - b).max() / scale < 0.08, model_name
+
+
+# ---------------- whole-block fusion (ops/pvt_block.py) ----------------
+
+
+def test_pvtv2_fused_block_flag_same_params_and_outputs(rng):
+    """fused_block=True must not change the param tree; on CPU (fallback)
+    the f32 outputs must agree with the module chain."""
+    from pranet2_tpu.models.backbones.pvtv2 import PVT_CONFIGS, PVTv2
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    m0 = PVTv2(**PVT_CONFIGS["b0"], fused_block=False, fused_mlp=False,
+               fused_attn=False)
+    m1 = PVTv2(**PVT_CONFIGS["b0"], fused_block=True)
+    v = jax.jit(m0.init)(jax.random.key(0), x)
+    v1 = jax.jit(m1.init)(jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v1)):
+        assert a.shape == b.shape
+    o0 = jax.jit(m0.apply)(v, x)
+    o1 = jax.jit(m1.apply)(v, x)
+    for a, b in zip(o0, o1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a TPU backend")
+def test_pvt_block_kernel_matches_reference_tpu(rng):
+    from pranet2_tpu.ops.pvt_block import fused_pvt_block, reference_pvt_block
+
+    for (n, h, w, d, c, nh, sr) in [(2, 88, 88, 64, 512, 1, 8),
+                                    (2, 44, 44, 128, 1024, 2, 4),
+                                    (2, 22, 22, 320, 1280, 5, 2),
+                                    (2, 11, 11, 512, 2048, 8, 1)]:
+        a = _block_args(rng, n, h, w, d, nh, sr, dtype=jnp.bfloat16)
+        mk = lambda s, sc=0.1: jnp.asarray(rng.standard_normal(s) * sc,
+                                           jnp.float32)
+        a = a + (mk((d,)) + 1.0, mk((d,)), mk((d, c), 0.05), mk((c,)),
+                 mk((3, 3, c)), mk((c,)), mk((c, d), 0.05), mk((d,)))
+        got = np.asarray(jax.jit(
+            lambda *A: fused_pvt_block(*A, sr, nh))(*a), np.float32)
+        want = np.asarray(jax.jit(
+            lambda *A: reference_pvt_block(*A, sr=sr, nh=nh))(*a),
+            np.float32)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 0.05 * max(scale / 4, 1.0), (d,)

@@ -66,6 +66,7 @@ def main():
         ("pvt_pranet_v2", "mlp"),
         ("pvt_pranet_v2", "attn"),
         ("pvt_pranet_v2", "mlp,attn"),
+        ("pvt_pranet_v2", "blockfuse"),
         ("pranet_v2", ""),
         ("pranet_v2", "s2d"),
         ("pranet_v2", "s2d,l1pack"),
