@@ -90,3 +90,23 @@ def test_pack_unpack_roundtrip(rng):
     x = jnp.asarray(rng.standard_normal((3, 6, 8, 7)), jnp.float32)
     np.testing.assert_array_equal(np.asarray(unpack2(pack2(x))),
                                   np.asarray(x))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled parity on the chip")
+def test_l1pack_full_model_bf16_tpu(rng, monkeypatch):
+    """PraNet-V2 bf16 with s2d+l1pack vs the plain-XLA bf16 model on the
+    chip at the benchmark shape."""
+    from pranet2_tpu.models import get_model
+
+    x = jnp.asarray(rng.standard_normal((2, 352, 352, 3)), jnp.float32)
+    monkeypatch.setenv("PRANET2_FUSED", "s2d,l1pack")
+    m = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
+    v = jax.jit(m.init)(jax.random.key(0), x)
+    fast = [np.asarray(o, np.float32) for o in jax.jit(m.apply)(v, x)]
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    m2 = get_model("pranet_v2", num_class=1, dtype=jnp.bfloat16)
+    plain = [np.asarray(o, np.float32) for o in jax.jit(m2.apply)(v, x)]
+    for a, b in zip(fast, plain):
+        scale = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() / scale < 0.08
