@@ -234,6 +234,8 @@ class _FusedSRAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, lns1, lnb1):
+        import os
+
         b, h, w, c = x.shape
         nh = self.num_heads
         hd = c // nh
@@ -250,11 +252,51 @@ class _FusedSRAttention(nn.Module):
             lks = jnp.ones((c,), jnp.float32)
             lkb = jnp.zeros((c,), jnp.float32)
         wkv, bkv = _DenseParams(2 * c, name="kv")(c)
+        wq_k = wq.reshape(c, nh, hd).transpose(1, 0, 2)
+        bq_k = bq.reshape(nh, hd)
+        if os.environ.get("PVT_ATTN_IMPL", "v1") == "v1":
+            # v1 routing (default, trace-time knob): the tiny K/V path
+            # (sr conv + LN + kv dense) runs in XLA; LN1, q, softmax
+            # attention, proj and the residual go through the v1 kernel.
+            # Same param tensors, so the checkpoint layout is unchanged.
+            # v1 measured faster than the whole-half v2 kernel at every
+            # combination tried (977.7 vs 957.5 alone, 1329.1 vs 1293.8
+            # with the fused MLP — tools/exp_pvt_matrix.py, round 3);
+            # PVT_ATTN_IMPL=v2 opts into the whole-half kernel.
+            from pranet2_tpu.ops.pvt_attn import fused_sra_attention
+
+            dt = self.dtype
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+            y = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns1 + lnb1
+            y = y.astype(x.dtype)
+            if sr > 1:
+                kv_in = jax.lax.conv_general_dilated(
+                    y.astype(dt or y.dtype),
+                    ksr.astype(dt or ksr.dtype), (sr, sr), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + bsr.astype(dt or bsr.dtype)
+                kf = kv_in.astype(jnp.float32)
+                kmu = jnp.mean(kf, axis=-1, keepdims=True)
+                kvar = jnp.mean(kf * kf, axis=-1, keepdims=True) - kmu * kmu
+                kv_in = ((kf - kmu) * jax.lax.rsqrt(kvar + 1e-5) * lks
+                         + lkb).astype(y.dtype)
+            else:
+                kv_in = y
+            kv = (jnp.einsum("nhwc,cd->nhwd", kv_in.astype(dt or kv_in.dtype),
+                             wkv.astype(dt or wkv.dtype))
+                  + bkv.astype(dt or bkv.dtype))
+            k, v = jnp.split(kv, 2, axis=-1)
+            tkv = k.shape[1] * k.shape[2]
+            kt = k.reshape(b, tkv, nh, hd).transpose(0, 2, 3, 1)
+            v = v.reshape(b, tkv, nh, hd).transpose(0, 2, 1, 3)
+            return fused_sra_attention(x, lns1, lnb1, wq_k, bq_k, kt, v,
+                                       wp, bp, 1e-6)
         from pranet2_tpu.ops.pvt_attn import fused_sra_block
 
         return fused_sra_block(
-            x, lns1, lnb1, wq.reshape(c, nh, hd).transpose(1, 0, 2),
-            bq.reshape(nh, hd), wsr, bsr, lks, lkb, wkv, bkv, wp, bp,
+            x, lns1, lnb1, wq_k, bq_k, wsr, bsr, lks, lkb, wkv, bkv, wp, bp,
             sr, nh, 1e-6)
 
 

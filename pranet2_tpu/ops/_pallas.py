@@ -46,6 +46,9 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     explicit = os.environ.get("PRANET2_FUSED")
     if explicit is not None:
         return name in {c.strip() for c in explicit.split(",")}
-    # res2block: measured negative at reference widths; l1pack/blockfuse:
-    # awaiting on-chip measurement — all opt-in via PRANET2_FUSED until then
+    # All three opt-outs are measured negatives on the v5e chip (round 3,
+    # tools/exp_ablate_fused.py / exp_pvt_matrix.py): res2block loses at
+    # reference widths; l1pack regresses PraNet-V2 bs16 1,802 -> 1,436
+    # img/s; blockfuse (whole-half kernels) loses to the separate mlp+attn
+    # kernels at every combination tried (1,293.8 vs 1,329.1 best).
     return name not in ("res2block", "l1pack", "blockfuse")

@@ -45,7 +45,7 @@ from pranet2_tpu.ops.pvt_attn import (
     _ln,
     reference_sra_block,
 )
-from pranet2_tpu.ops.pvt_mlp import _TAPS_LOWP, _gelu_erf, reference_mlp_block
+from pranet2_tpu.ops.pvt_mlp import _gelu_erf, _taps_lowp, reference_mlp_block
 
 
 def _mlp_half(hmap, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps, out_dtype):
@@ -76,7 +76,7 @@ def _mlp_half(hmap, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps, out_dtype):
     border = (rows < w) | (rows >= (ht + 1) * w)
     wpos = rows - (rows // w) * w
 
-    tdt = dt if _TAPS_LOWP else jnp.float32
+    tdt = dt if _taps_lowp() else jnp.float32
     acc = jnp.zeros((ht, w, c), tdt)
     dwk_t = dwk.astype(tdt)
     for dj in range(3):

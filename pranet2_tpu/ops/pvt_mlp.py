@@ -47,7 +47,16 @@ except Exception:  # pragma: no cover
 
 import os
 
-_TAPS_LOWP = os.environ.get("PVT_MLP_TAPS", "lowp") != "f32"
+def _taps_lowp() -> bool:
+    """Tap-accumulation dtype knob, read at trace time so one ablation
+    process can sweep it (each variant builds a fresh jit).
+
+    Default is f32: bf16 taps measured ~1.6x on isolated stage-1/2 blocks
+    but are a large FULL-MODEL regression (PVT-PraNet-V2 352^2 bs16:
+    761 vs 1,180 img/s, tools/exp_pvt_matrix.py, round 3) — the extra
+    casts/layouts around the rolls evidently dominate outside the
+    microbenchmark.  PVT_MLP_TAPS=lowp opts back in for re-checks."""
+    return os.environ.get("PVT_MLP_TAPS", "f32") == "lowp"
 
 
 # odd-polynomial erf(x/sqrt(2)) = x * P(x^2) on [-3.5, 3.5], x-weighted
@@ -114,11 +123,10 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     wpos = rows - (rows // w) * w                     # rows % W
 
     # Tap accumulation + GELU are the kernel's dominant VPU cost on the
-    # 8x-wide hidden tensor.  bf16 arithmetic packs 2 lanes per f32 ALU op
-    # on this chip (measured ~1.6x end-to-end on the stage-1/2 blocks), and
-    # a 9-term bf16 accumulation stays within ~2 ulp of the bf16 result the
-    # unfused bf16 module chain produces anyway.
-    tdt = xc.dtype if _TAPS_LOWP else jnp.float32
+    # 8x-wide hidden tensor.  bf16 taps pack 2 lanes per f32 ALU op and
+    # measured ~1.6x on isolated stage-1/2 blocks, but regress the FULL
+    # model by 1.55x (see _taps_lowp) — default is f32 taps.
+    tdt = xc.dtype if _taps_lowp() else jnp.float32
     acc = jnp.zeros((ht, w, c), tdt)
     dwk_t = dwk.astype(tdt)
     for dj in range(3):

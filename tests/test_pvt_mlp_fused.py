@@ -78,6 +78,15 @@ def test_grad_path_works(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+_NOT_CPU_FALLBACK = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="CPU-fallback structural test (f32 tolerance); on TPU the flag "
+    "routes to the compiled bf16-tap kernels, whose parity is gated by the "
+    "dedicated *_tpu tests at calibrated tolerance",
+)
+
+
+@_NOT_CPU_FALLBACK
 def test_pvtv2_fused_flag_same_params_and_outputs(rng):
     """fused_mlp=True must not change the param tree; on CPU (fallback) the
     f32 outputs must agree with the module chain to float tolerance."""
@@ -155,6 +164,7 @@ def test_attn_grad_path_works(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+@_NOT_CPU_FALLBACK
 def test_pvtv2_fused_attn_same_params_and_outputs(rng):
     from pranet2_tpu.models.backbones.pvtv2 import PVT_CONFIGS, PVTv2
 
@@ -302,6 +312,7 @@ def test_full_model_fused_vs_unfused_tpu(rng, model_name, monkeypatch):
 # ---------------- whole-block fusion (ops/pvt_block.py) ----------------
 
 
+@_NOT_CPU_FALLBACK
 def test_pvtv2_fused_block_flag_same_params_and_outputs(rng):
     """fused_block=True must not change the param tree; on CPU (fallback)
     the f32 outputs must agree with the module chain."""

@@ -15,6 +15,14 @@ Compares, at PVTv2-b2 stage shapes (352^2 input, bs16):
   * folded dense 3x3 conv with ones-channel (exp_dwfold.py candidate)
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import time
 
 import jax

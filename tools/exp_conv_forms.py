@@ -5,6 +5,14 @@ Isolates the candidate folded fc1+dwconv kernel (see exp_dwfold.py) from the
 surrounding concat/bias plumbing to find the fast core.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import functools
 import time
 

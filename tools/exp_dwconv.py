@@ -10,6 +10,14 @@ Candidates at the stall shapes (16,88,88,512) / (16,44,44,1024) bf16:
 Each timed with the fenced protocol; prints GB/s effective.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import functools
 import time
 

@@ -15,6 +15,14 @@ XLA's depthwise emitter runs at ~150-200 GB/s on the (16,88,88,512) stage-1
 shape (VPU/permute-bound); the folded dense conv rides the MXU instead.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import time
 
 import jax
