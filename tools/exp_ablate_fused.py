@@ -67,7 +67,7 @@ def main():
     from pranet2_tpu.models import get_model
 
     print(f"device: {jax.devices()[0].device_kind}  "
-          f"taps={'f32' if os.environ.get('PVT_MLP_TAPS') == 'f32' else 'bf16'}")
+          f"taps={'lowp' if os.environ.get('PVT_MLP_TAPS') == 'lowp' else 'f32'}")
     rows = [
         ("pvt_pranet_v2", ""),
         ("pvt_pranet_v2", "mlp"),
