@@ -16,6 +16,13 @@ import pytest
 from pranet2_tpu.ops.pvt_mlp import (_gelu_erf, fused_mlp_block,
                                      reference_mlp_block)
 
+_NOT_CPU_FALLBACK = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="CPU-fallback structural test (f32 tolerance); on TPU the flag "
+    "routes to the compiled bf16-tap kernels, whose parity is gated by the "
+    "dedicated *_tpu tests at calibrated tolerance",
+)
+
 
 def _args(rng, n=2, h=12, w=10, d=64, c=256, dtype=jnp.float32):
     x = jnp.asarray(rng.standard_normal((n, h, w, d)), dtype)
@@ -44,6 +51,7 @@ def _module_chain(x, lns, lnb, w1, b1, dwk, dwb, w2, b2):
     return x + y
 
 
+@_NOT_CPU_FALLBACK
 def test_fallback_matches_module_chain(rng):
     a = _args(rng)
     got = np.asarray(jax.jit(fused_mlp_block)(*a))
@@ -63,6 +71,7 @@ def test_gelu_poly_accuracy():
     assert err[np.abs(np.asarray(x)) < 3.5].max() < 1.6e-3
 
 
+@_NOT_CPU_FALLBACK
 def test_grad_path_works(rng):
     a = _args(rng, n=1, h=6, w=5, d=32, c=64)
 
@@ -76,14 +85,6 @@ def test_grad_path_works(rng):
     gr = jax.grad(loss_ref, argnums=(0, 3, 5, 7))(*a)
     for x, y in zip(g, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
-
-
-_NOT_CPU_FALLBACK = pytest.mark.skipif(
-    jax.default_backend() == "tpu",
-    reason="CPU-fallback structural test (f32 tolerance); on TPU the flag "
-    "routes to the compiled bf16-tap kernels, whose parity is gated by the "
-    "dedicated *_tpu tests at calibrated tolerance",
-)
 
 
 @_NOT_CPU_FALLBACK
@@ -130,6 +131,7 @@ def _attn_args(rng, n=2, h=12, w=10, d=64, nh=2, sr=2, dtype=jnp.float32):
             mk((n, nh, tkv, hd), 0.5), mk((d, d), 0.05), mk((d,)))
 
 
+@_NOT_CPU_FALLBACK
 def test_attn_fallback_matches_dot_product_attention(rng):
     """reference_sra_attention == LN + jax.nn.dot_product_attention + proj."""
     from pranet2_tpu.ops.pvt_attn import reference_sra_attention
@@ -151,6 +153,7 @@ def test_attn_fallback_matches_dot_product_attention(rng):
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-5, rtol=1e-5)
 
 
+@_NOT_CPU_FALLBACK
 def test_attn_grad_path_works(rng):
     from pranet2_tpu.ops.pvt_attn import (fused_sra_attention,
                                           reference_sra_attention)
@@ -216,6 +219,7 @@ def _block_args(rng, n=2, h=12, w=8, d=64, nh=2, sr=2, dtype=jnp.float32):
             mk((d, d), 0.05), mk((d,)))
 
 
+@_NOT_CPU_FALLBACK
 def test_sra_block_fallback_matches_module_chain(rng):
     """reference_sra_block == the unfused flax composition in pvtv2."""
     from pranet2_tpu.ops.pvt_attn import reference_sra_block
@@ -251,6 +255,7 @@ def test_sra_block_fallback_matches_module_chain(rng):
                                    atol=2e-5, rtol=1e-5)
 
 
+@_NOT_CPU_FALLBACK
 def test_sra_block_grad_path_works(rng):
     from pranet2_tpu.ops.pvt_attn import (fused_sra_block,
                                           reference_sra_block)

@@ -27,7 +27,12 @@ def test_l1_packed_matches_module_path(dtype):
     v = base.init(jax.random.key(0), x)
     outs_a = base.apply(v, x)
     outs_b = packed.apply(v, x)
-    tol = 2e-5 if dtype == jnp.float32 else 0.05
+    # TPU f32 convs run through the MXU at bf16-tap precision by default,
+    # so the two exact-in-real-arithmetic compositions round differently;
+    # the strict 2e-5 f32 gate is a CPU property.  bf16 full-model parity
+    # on-chip is gated by test_l1pack_full_model_bf16_tpu.
+    on_tpu = jax.default_backend() == "tpu"
+    tol = (2e-2 if on_tpu else 2e-5) if dtype == jnp.float32 else 0.05
     for a, b in zip(outs_a, outs_b):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
