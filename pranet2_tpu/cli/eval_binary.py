@@ -10,12 +10,33 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 from PIL import Image
 from tabulate import tabulate
 
 DEFAULT_METRICS = ["meanDic", "meanIoU", "wFm", "Sm", "meanEm", "mae"]
+
+
+def _pair_files(pdir: str, gdir: str, ds: str):
+    """Match prediction files to GT masks by stem (extension-insensitive).
+
+    The reference tolerates name drift by explicit ``.jpg -> .png`` mapping
+    (``binary_seg/eval.py:112-129``); here any extension pairs as long as the
+    stem matches.  Unpaired files on either side are reported per-file to
+    stderr and skipped — one stray file must not kill the whole sweep.
+    """
+    preds = {os.path.splitext(f)[0]: f for f in sorted(os.listdir(pdir))}
+    gts = {os.path.splitext(f)[0]: f for f in sorted(os.listdir(gdir))}
+    common = sorted(preds.keys() & gts.keys())
+    for stem in sorted(preds.keys() - gts.keys()):
+        print(f"[eval:{ds}] prediction without GT mask, skipped: "
+              f"{preds[stem]}", file=sys.stderr)
+    for stem in sorted(gts.keys() - preds.keys()):
+        print(f"[eval:{ds}] GT mask without prediction, skipped: "
+              f"{gts[stem]}", file=sys.stderr)
+    return [(preds[s], gts[s]) for s in common]
 
 
 def evaluate_pred_dirs(pred_root: str, gt_root: str, datasets, metrics,
@@ -27,12 +48,13 @@ def evaluate_pred_dirs(pred_root: str, gt_root: str, datasets, metrics,
     for ds in datasets:
         pdir = os.path.join(pred_root, ds)
         gdir = os.path.join(gt_root, ds, "masks")
-        preds = sorted(os.listdir(pdir))
-        gts = sorted(os.listdir(gdir))
-        assert len(preds) == len(gts), (ds, len(preds), len(gts))
+        pairs = _pair_files(pdir, gdir, ds)
+        if not pairs:
+            print(f"[eval:{ds}] no matching pred/GT pairs — skipped",
+                  file=sys.stderr)
+            continue
         per_image = []
-        for pf, gf in zip(preds, gts):
-            assert os.path.splitext(pf)[0] == os.path.splitext(gf)[0]
+        for pf, gf in pairs:
             pred = np.array(Image.open(os.path.join(pdir, pf)))
             gt = np.array(Image.open(os.path.join(gdir, gf)))
             per_image.append(binary_image_metrics(pred, gt))

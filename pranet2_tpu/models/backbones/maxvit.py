@@ -433,6 +433,16 @@ MAXVIT_CONFIGS = {
         stem_width=(48, 96), conv_type="convnext", init_values=1e-6,
         stem_norm="ln_gelu",
     ),
+    # Minimal config for sharding dry runs / compile-budget-bound smoke
+    # tests: one block per stage exercises every op class the real variants
+    # trace (MbConv, window+grid PartitionAttention with rel-pos MLP,
+    # stochastic depth, stage-end LayerNorm) at ~1/10 the XLA compile cost.
+    # Not a reference variant; never used for checkpoints or benchmarks.
+    "maxvit_dryrun": dict(
+        embed_dim=(32, 32, 64, 128), depths=(1, 1, 1, 1),
+        stem_width=(8, 16), conv_type="mbconv", init_values=None,
+        stem_norm="bn_silu",
+    ),
 }
 
 

@@ -36,6 +36,8 @@ from pranet2_tpu.ops import resize_bilinear
 _SCALE_CHANNELS = {
     "tiny": (512, 256, 128, 64),
     "small": (768, 384, 192, 96),
+    # compile-budget-bound sharding dry runs only (see maxvit_dryrun)
+    "dryrun": (128, 64, 32, 32),
 }
 _SCALE_BACKBONES = {
     # (for img 256, for img 224) — reference load_pretrained_weights
@@ -43,6 +45,7 @@ _SCALE_BACKBONES = {
     #  with a learned rel-pos table, not the MLP variant)
     "tiny": ("maxvit_rmlp_tiny_rw_256", "maxvit_tiny_rw_224"),
     "small": ("maxxvit_rmlp_small_rw_256", "maxvit_rmlp_small_rw_224"),
+    "dryrun": ("maxvit_dryrun", "maxvit_dryrun"),
 }
 
 

@@ -51,6 +51,36 @@ def test_eval_binary_end_to_end(tmp_path):
     assert os.path.isfile(tmp_path / "out" / "result_DS1.csv")
 
 
+def test_eval_binary_tolerates_name_drift(tmp_path, capsys):
+    """A stray/missing file or a .jpg/.png extension mismatch must not kill
+    the sweep — the reference name-maps .jpg->.png (binary_seg/eval.py) and
+    the CLI here reports unpaired files per-file and scores the rest."""
+    rng = np.random.default_rng(1)
+    (tmp_path / "preds" / "DS1").mkdir(parents=True)
+    (tmp_path / "gt" / "DS1" / "masks").mkdir(parents=True)
+    for i in range(3):
+        gt = (rng.random((32, 32)) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(gt).save(tmp_path / "gt" / "DS1" / "masks" / f"{i}.png")
+        # extension drift: predictions saved as .jpg-named PNGs
+        Image.fromarray(gt).save(
+            tmp_path / "preds" / "DS1" / f"{i}.jpg", format="PNG")
+    # one extra prediction without GT, one GT without prediction
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+        tmp_path / "preds" / "DS1" / "stray.png")
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(
+        tmp_path / "gt" / "DS1" / "masks" / "missing.png")
+
+    from pranet2_tpu.cli.eval_binary import evaluate_pred_dirs
+
+    rows = evaluate_pred_dirs(
+        str(tmp_path / "preds"), str(tmp_path / "gt"), ["DS1"],
+        ["meanDic", "mae"])
+    err = capsys.readouterr().err
+    assert "stray.png" in err and "missing.png" in err
+    assert rows[0][0] == "DS1"
+    assert dict(zip(["meanDic", "mae"], rows[0][1:]))["mae"] < 1e-9
+
+
 def test_reproduce_baseline_mini_dataset(tmp_path, capsys, monkeypatch):
     """reproduce_baseline on a synthetic mini TestDataset + orbax checkpoint:
     the day-one BASELINE.md command must produce the metric table with no
