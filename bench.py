@@ -25,6 +25,9 @@ BASELINE_FPS = 556.0  # PyTorch PraNet-V2 bs=16 (BASELINE.md)
 def bench_infer(batch_size: int = 16, size: int = 352, iters: int = 50,
                 warmup: int = 5, windows: int = 3, fast: bool = True):
     from pranet2_tpu.models import get_model
+    from pranet2_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # repeat runs skip the multi-minute XLA compile
 
     if not fast:
         os.environ["PRANET2_NO_FUSED"] = "1"  # read at trace time

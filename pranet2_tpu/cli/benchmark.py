@@ -34,7 +34,10 @@ def bench_model(name: str, batch_sizes, size: int, iters: int, dtype: str,
     import jax.numpy as jnp
 
     from pranet2_tpu.models import get_model
-    from pranet2_tpu.utils.profiling import cost_analysis, fence
+    from pranet2_tpu.utils.profiling import (cost_analysis,
+                                             enable_compile_cache, fence)
+
+    enable_compile_cache()
 
     dt = jnp.bfloat16 if dtype == "bfloat16" else None
     kwargs = {"num_class": 1} if name.endswith("_v2") else {}

@@ -41,6 +41,46 @@ CKPT_ALIASES = {
     "pvt_pranet_v2": ("PVT-V2", "PVT-PraNet-V2"),
 }
 
+# Published PyTorch mDice (%), BASELINE.md / binary_seg/jittor/README.md:27-84.
+# CVC-ColonDB has no published row (the reference's scripts skip it,
+# MyTest_med.py:82), so --expect scores whichever of these datasets ran.
+EXPECTED_MDICE = {
+    "pranet_v1": {"CVC-300": 87.06, "CVC-ClinicDB": 89.84, "Kvasir": 89.39,
+                  "ETIS-LaribPolypDB": 62.75},
+    "pvt_pranet_v1": {"CVC-300": 86.59, "CVC-ClinicDB": 90.96,
+                      "Kvasir": 87.09, "ETIS-LaribPolypDB": 68.32},
+    "pranet_v2": {"CVC-300": 89.83, "CVC-ClinicDB": 92.28, "Kvasir": 90.70,
+                  "ETIS-LaribPolypDB": 64.05},
+    "pvt_pranet_v2": {"CVC-300": 89.89, "CVC-ClinicDB": 93.09,
+                      "Kvasir": 91.52, "ETIS-LaribPolypDB": 76.35},
+}
+
+
+def verdict_rows(all_rows, metrics, expected, tol_pp: float):
+    """Compare measured mDice against expectations -> per-row PASS/FAIL.
+
+    ``all_rows`` are ``[model, dataset, *metric values]`` with metrics in
+    0..1; expectations are percent (the BASELINE.md convention).  Returns
+    (verdict table rows, ok) — ``ok`` is False if any compared row misses
+    the tolerance.  Datasets without a published number are marked ``n/a``
+    and don't affect the verdict.
+    """
+    idx = 2 + metrics.index("meanDic")
+    rows, ok = [], True
+    for r in all_rows:
+        model, ds = r[0], r[1]
+        got_pp = 100.0 * float(r[idx])
+        want = expected.get(model, {}).get(ds)
+        if want is None:
+            rows.append([model, ds, f"{got_pp:.2f}", "—", "—", "n/a"])
+            continue
+        diff = got_pp - float(want)
+        good = abs(diff) <= tol_pp
+        ok &= good
+        rows.append([model, ds, f"{got_pp:.2f}", f"{want:.2f}",
+                     f"{diff:+.2f}", "PASS" if good else "FAIL"])
+    return rows, ok
+
 
 def find_checkpoint(ckpt_dir: str, model: str) -> str | None:
     alias, subdir = CKPT_ALIASES[model]
@@ -131,6 +171,17 @@ def main():
     p.add_argument("--precision", default="highest",
                    choices=["default", "high", "highest"],
                    help="'highest' for checkpoint-parity numbers")
+    p.add_argument("--expect", action="store_true",
+                   help="compare measured mDice against the published "
+                        "PyTorch numbers (BASELINE.md) and exit nonzero on "
+                        "any miss — the one-command parity verdict")
+    p.add_argument("--expect_json", default=None,
+                   help="JSON {model: {dataset: mdice_pct}} overriding the "
+                        "built-in expectations (implies --expect)")
+    p.add_argument("--tol_pp", type=float, default=0.4,
+                   help="mDice tolerance in percentage points for --expect "
+                        "(0.4 = the historically accepted port drift; the "
+                        "stretch target is 0.1)")
     args = p.parse_args()
 
     import jax
@@ -158,8 +209,27 @@ def main():
     print()
     print(tabulate(all_rows, headers=["model", "dataset", *args.metrics],
                    floatfmt=".4f"))
-    print("\nCompare against BASELINE.md (PyTorch rows; historical port "
-          "tolerance <=0.4pp, target +-0.1pp).")
+
+    if args.expect or args.expect_json:
+        expected = EXPECTED_MDICE
+        if args.expect_json:
+            import json
+
+            with open(args.expect_json) as f:
+                expected = json.load(f)
+        vrows, ok = verdict_rows(all_rows, args.metrics, expected,
+                                 args.tol_pp)
+        print()
+        print(tabulate(vrows, headers=["model", "dataset", "mDice",
+                                       "expected", "diff (pp)", "verdict"]))
+        print(f"\nparity verdict: {'PASS' if ok else 'FAIL'} "
+              f"(tolerance ±{args.tol_pp}pp)")
+        if not ok:
+            raise SystemExit(1)
+    else:
+        print("\nCompare against BASELINE.md (PyTorch rows; historical port "
+              "tolerance <=0.4pp, target +-0.1pp) — or rerun with --expect "
+              "for an automatic verdict.")
 
 
 if __name__ == "__main__":

@@ -37,6 +37,28 @@ def device_peak_tflops() -> tuple[str, float | None]:
     return kind, PEAK_BF16_TFLOPS.get(kind)
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Point jax at a persistent XLA compilation cache (idempotent).
+
+    Over this image's remote-TPU tunnel a cold compile of a full model is
+    minutes; with the cache a repeat ``bench.py`` / tools run is seconds.
+    Defaults to the repo-local gitignored ``.jax_cache`` the test suite
+    shares (the driver dryrun keeps its own committed ``.dryrun_cache``).
+    """
+    import os
+
+    if path is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        path = os.path.join(repo, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is only an optimization
+        pass
+
+
 def cost_analysis(fn, *args) -> dict:
     """FLOPs / bytes accessed of the jitted ``fn(*args)`` from compiled HLO.
 

@@ -109,11 +109,14 @@ def test_reproduce_baseline_mini_dataset(tmp_path, capsys, monkeypatch):
     ckpts = tmp_path / "ckpts"
     save_params(str(ckpts / "pranet_v2"), dict(variables))
 
+    expect = tmp_path / "expect.json"
+    expect.write_text('{"pranet_v2": {"CVC-300": 50.0}}')
     monkeypatch.setattr(sys, "argv", [
         "reproduce_baseline", "--data_root", str(data),
         "--ckpt_dir", str(ckpts), "--models", "pranet_v2",
         "--datasets", "CVC-300", "--testsize", "64", "--batchsize", "2",
         "--save_root", str(tmp_path / "results"), "--precision", "default",
+        "--expect_json", str(expect), "--tol_pp", "100",
     ])
     rb.main()
     out = capsys.readouterr().out
@@ -125,6 +128,33 @@ def test_reproduce_baseline_mini_dataset(tmp_path, capsys, monkeypatch):
     vals = row[0].split()[2:]
     assert len(vals) == 6 and all(float(v) == float(v) for v in vals)
     assert (tmp_path / "results" / "pranet_v2" / "CVC-300" / "0.png").exists()
+    # the automatic parity verdict ran and passed at the wide tolerance
+    assert "parity verdict: PASS" in out, out
+
+
+def test_reproduce_baseline_verdict_rows():
+    """--expect verdict logic: PASS/FAIL at the tolerance, n/a when no
+    published number exists (CVC-ColonDB, BASELINE.md §targets)."""
+    from pranet2_tpu.cli.reproduce_baseline import verdict_rows
+
+    metrics = ["meanDic", "mae"]
+    rows = [
+        ["pranet_v2", "CVC-300", 0.8985, 0.01],       # +0.02pp vs 89.83
+        ["pranet_v2", "Kvasir", 0.8990, 0.01],        # -0.80pp vs 90.70
+        ["pranet_v2", "CVC-ColonDB", 0.85, 0.01],     # no published row
+    ]
+    from pranet2_tpu.cli.reproduce_baseline import EXPECTED_MDICE
+
+    vrows, ok = verdict_rows(rows, metrics, EXPECTED_MDICE, tol_pp=0.4)
+    assert not ok
+    by_ds = {r[1]: r for r in vrows}
+    assert by_ds["CVC-300"][-1] == "PASS"
+    assert by_ds["Kvasir"][-1] == "FAIL"
+    assert by_ds["CVC-ColonDB"][-1] == "n/a"
+    # all four released models carry expectations for the 4 scored sets
+    assert all(len(v) == 4 for v in EXPECTED_MDICE.values())
+    _, ok2 = verdict_rows(rows[:1], metrics, EXPECTED_MDICE, tol_pp=0.4)
+    assert ok2
 
 
 def test_find_checkpoint_layouts(tmp_path):

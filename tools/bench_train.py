@@ -21,7 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pranet2_tpu.utils.profiling import cost_analysis, fence
+from pranet2_tpu.utils.profiling import (cost_analysis, enable_compile_cache,
+                                         fence)
+
+enable_compile_cache()
 
 
 def timeit_step(step, state, args, iters=20, warmup=3):

@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pranet2_tpu.utils.profiling import fence
+from pranet2_tpu.utils.profiling import enable_compile_cache, fence
+
+enable_compile_cache()
 
 
 def bench_fwd(model, bs=16, size=352, iters=40, windows=3, warmup=5):

@@ -97,6 +97,66 @@ def make_variant(mode):
             y = y * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
 
         c = w1_ref.shape[-1]
+
+        if mode == "y9":
+            # Fold the ENTIRE depthwise conv into one MXU matmul: for each
+            # of the 9 taps k=(di,dj), (y_k @ w1) * dwk_k == y_k @ (w1 *
+            # dwk_k[None,:]) — so concat the 9 shifted narrow slices on the
+            # channel axis and contract once against the column-scaled
+            # stacked weights (9d, c).  9x fc1 FLOPs, near-zero VPU taps.
+            # Shifts as flattened-row rolls so every slice is offset-0
+            # (Mosaic cannot concat slices at different sublane offsets).
+            r = (ht + 2) * w
+            y2 = y.reshape(r, d)
+            dwkf = dwk_ref[...].astype(xc.dtype)
+            cols, wrows = [], []
+            for dj in range(3):
+                for di in range(3):
+                    shift = (1 - di) * w + (1 - dj)
+                    ys = pltpu.roll(y2, shift % r, axis=0)
+                    cols.append(ys.astype(xc.dtype))
+                    wrows.append(w1_ref[...] * dwkf[di, dj][None, :])
+            y9 = jnp.concatenate(cols, axis=-1)[w:(ht + 1) * w]
+            w9 = jnp.concatenate(wrows, axis=0)
+            acc = jnp.dot(y9, w9, preferred_element_type=jnp.float32)
+            acc = acc.reshape(ht, w, c) + dwb_ref[...].astype(jnp.float32)
+            from pranet2_tpu.ops.pvt_mlp import _gelu_erf
+            g = _gelu_erf(acc)
+            out = jnp.dot(g.reshape(ht * w, c).astype(xc.dtype), w2_ref[...],
+                          preferred_element_type=jnp.float32)
+            out = out + b2_ref[...].astype(jnp.float32)
+            o_ref[0] = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+            return
+
+        if mode == "lowp2":
+            # MXU accumulates f32 (Mosaic requires 32-bit acc) but the
+            # hidden copy is downcast immediately: taps and GELU run on
+            # packed bf16 lanes (2x VPU throughput vs the f32 default).
+            zb = jnp.dot(y.reshape((ht + 2) * w, d).astype(xc.dtype),
+                         w1_ref[...],
+                         preferred_element_type=jnp.float32
+                         ).astype(xc.dtype)
+            zb = zb.reshape(ht + 2, w, c) + b1_ref[...].astype(zb.dtype)
+            row = lax.broadcasted_iota(jnp.int32, (ht + 2, 1, 1), 0)
+            border = (((row == 0) & (i == 0))
+                      | ((row == ht + 1) & (i == nh - 1)))
+            zb = jnp.where(border, jnp.zeros_like(zb), zb)
+            zp = jnp.pad(zb, ((0, 0), (1, 1), (0, 0)))
+            dwkb = dwk_ref[...].astype(zb.dtype)
+            acc = jnp.zeros((ht, w, c), zb.dtype)
+            for dj in range(3):
+                s = zp[:, dj:dj + w, :]
+                for di in range(3):
+                    acc = acc + s[di:di + ht] * dwkb[di, dj]
+            acc = acc + dwb_ref[...].astype(zb.dtype)
+            from pranet2_tpu.ops.pvt_mlp import _gelu_erf
+            g = _gelu_erf(acc)
+            out = jnp.dot(g.reshape(ht * w, c), w2_ref[...],
+                          preferred_element_type=jnp.float32)
+            out = out + b2_ref[...].astype(jnp.float32)
+            o_ref[0] = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+            return
+
         z = jnp.dot(y.reshape((ht + 2) * w, d).astype(xc.dtype), w1_ref[...],
                     preferred_element_type=jnp.float32)
         z = z.reshape(ht + 2, w, c) + b1_ref[...].astype(jnp.float32)
@@ -198,7 +258,8 @@ def main():
     for st in ([args.stage] if args.stage else [1, 2, 3, 4]):
         n, h, w, d, c, ht = stages[st]
         print(f"== stage {st}: x=({n},{h},{w},{d}) hidden C={c} ht={ht} ==")
-        for mode in ("full", "nogelu", "relu", "nodw", "dw3", "noln"):
+        for mode in ("full", "y9", "lowp2", "nogelu", "relu", "nodw", "dw3",
+                     "noln"):
             t = run_variant(mode, n, h, w, d, c, ht)
             print(f"  {mode:8s}: {t*1e3:7.3f} ms/call")
 

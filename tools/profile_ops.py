@@ -101,6 +101,9 @@ def main():
     import numpy as np
 
     from pranet2_tpu.models import get_model
+    from pranet2_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else None
     kwargs = {"num_class": 1} if args.model.endswith("_v2") else {}
