@@ -275,12 +275,12 @@ class Res2Net(nn.Module):
                 )
 
                 cdt = dt or jnp.float32
-                xp = pack2(x)
+                xp = pack2(x)  # flat (N, H/2, W/2, 4*C) quad-major
                 for bi in range(blocks):
                     has_ds = bi == 0 and inplanes != planes * 4
                     p = _Bottle2neckParams(
                         planes, has_ds, self.base_width, self.scale,
-                        name=f"layer{li}_{bi}")(xp.shape[-1])
+                        name=f"layer{li}_{bi}")(xp.shape[-1] // 4)
                     xp = bottle2neck_q(
                         xp, p, cdt, stype="stage" if bi == 0 else "normal")
                 x = unpack2(xp)

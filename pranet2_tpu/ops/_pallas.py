@@ -46,9 +46,15 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     explicit = os.environ.get("PRANET2_FUSED")
     if explicit is not None:
         return name in {c.strip() for c in explicit.split(",")}
-    # All three opt-outs are measured negatives on the v5e chip (round 3,
-    # tools/exp_ablate_fused.py / exp_pvt_matrix.py): res2block loses at
-    # reference widths; l1pack regresses PraNet-V2 bs16 1,802 -> 1,436
-    # img/s; blockfuse (whole-half kernels) loses to the separate mlp+attn
-    # kernels at every combination tried (1,293.8 vs 1,329.1 best).
+    # All three opt-outs are measured negatives on the v5e chip
+    # (tools/exp_ablate_fused.py / exp_pvt_matrix.py): res2block loses at
+    # reference widths; l1pack regresses PraNet-V2 bs16 even after the
+    # round-4 flat-lane rewrite (1,827 -> 1,666 img/s — pack/unpack
+    # relayouts ~0.6 ms/iter eat the split-conv savings; round-3 5-D
+    # version was worse still, 1,802 -> 1,436); blockfuse (whole-half
+    # kernels) loses to the separate mlp+attn kernels at every combination
+    # tried (1,293.8 vs 1,329.1 best).  Round-4 matrix re-check of the
+    # separate-kernel knobs (exp_pvt_matrix, PVT bs16): f32 taps + attn v1
+    # = 1,323.7 img/s; bf16 taps 823; bf16 GELU 1,153; attn v2 1,293 —
+    # the f32/v1 defaults below stand.
     return name not in ("res2block", "l1pack", "blockfuse")

@@ -59,6 +59,19 @@ def _taps_lowp() -> bool:
     return os.environ.get("PVT_MLP_TAPS", "f32") == "lowp"
 
 
+def _gelu_lowp() -> bool:
+    """GELU lane-width knob (trace time).  PVT_MLP_GELU=bf16 computes the
+    erf polynomial on packed bf16 lanes while tap accumulation stays at
+    the PVT_MLP_TAPS dtype.
+
+    Measured NEGATIVE on v5e (round-4 exp_pvt_matrix, PVT bs16 full model:
+    1,153 vs 1,324 img/s f32) — same story as bf16 taps: this chip's VPU
+    has no packed-bf16 arithmetic win, so narrowing elementwise dtypes just
+    adds converts.  Default stays f32; knob kept for re-checks on chips
+    where bf16 VPU packing is real."""
+    return os.environ.get("PVT_MLP_GELU", "f32") == "bf16"
+
+
 # odd-polynomial erf(x/sqrt(2)) = x * P(x^2) on [-3.5, 3.5], x-weighted
 # LSQ fit, degree 5 in x^2 (max erf err 8.9e-4; tail saturation err
 # 4.7e-4 beyond the clip -- both well under bf16 resolution).  No
@@ -146,7 +159,14 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             acc = acc + z[di:di + ht].astype(tdt) * dwk_t[di, dj]
     acc = acc + dwb_ref[...].astype(tdt)
 
-    g = _gelu_erf(acc)
+    # GELU on packed bf16 lanes (taps stay f32): the erf polynomial is
+    # ~10 VPU ops on the 8x-wide hidden — halving its lane width is the
+    # cheapest remaining in-kernel cut.  PVT_MLP_GELU=bf16 opts in; the
+    # downcast costs one rounding at values the erf clip already bounds.
+    if _gelu_lowp():
+        g = _gelu_erf(acc.astype(xc.dtype))
+    else:
+        g = _gelu_erf(acc)
 
     out = jnp.dot(g.reshape(ht * w, c).astype(xc.dtype), w2_ref[...],
                   preferred_element_type=jnp.float32)

@@ -1,35 +1,51 @@
-"""Space-to-depth Res2Net layer-1 (pure XLA, exact restructure).
+"""Space-to-depth Res2Net layer-1 (pure XLA, exact restructure) — v2, flat
+lane-dense layout.
 
 Layer 1 of res2net50_v1b (``binary_seg/lib/Res2Net_v1b.py:120-141``:
 3 Bottle2necks at stride 1 on the 88x88 grid, split width 26) is the
 worst lane-padding offender in PraNet-V2's forward: every split tensor
 (N, 88, 88, 26) is lane-padded 26 -> 128 in HBM, so the nine 3x3 split
 convs alone move ~4.9x their logical bytes (~1.1 ms/iter measured at
-352^2 bs16 before this restructure).
+352^2 bs16, round-4 trace).
 
 Fix, same recipe as the stem (``ops/stem.py``): re-express the whole
-layer on the 2x2 space-to-depth grid.  Packed, a split group is
-(N, 44, 44, 4, 26) = 104 dense channels -> 128 lanes (1.23x pad), a 4x
-traffic cut on every narrow tensor, at the cost of 4x the (negligible)
-split-conv FLOPs via block-scattered kernels.  The restructure is exact
-in real arithmetic:
+layer on the 2x2 space-to-depth grid.  The round-3 version of this file
+kept the packed tensors 5-D with the 26-wide split as the MINOR dim —
+so every elementwise/BN/slice op was still 4.9x lane-padded and the
+"packed" path measured a regression (1,802 -> 1,436 img/s).  v2 keeps
+every tensor FLAT with dense lanes:
 
-* 1x1 convs (conv1 / conv3 / downsample) are the same dense applied to
-  each quad's channel block -> one einsum over the quad axis, no extra
-  FLOPs;
-* stride-1 3x3 convs become 3x3 convs on the packed grid with the
-  stem's block-scattered kernels (``stem._scatter_w``);
+* packed maps: (N, hh, ww, 4*C), flat channel = q*C + c (quad-major,
+  the ``stem._scatter_w`` convention), q = a*2 + b for pixel (2i+a,2j+b);
+* the split hidden u: (N, hh, ww, scale*4*w) with flat = g*4w + q*w + c
+  (group-major blocks, quad-major within) — each group is a contiguous
+  4w = 104-channel slice (1.23x pad, not 4.9x) that feeds its scattered
+  3x3 conv directly;
+* 1x1 convs (conv1 / conv3 / downsample) become single flat matmuls
+  against block-sparse packed weights (built once per call from the
+  canonical parameters).  The zero blocks waste ~4x the 1x1 FLOPs —
+  irrelevant at 23% MFU; the narrow-tensor HBM traffic was the binding
+  constraint;
+* BN (eval, folded running stats) and ReLU broadcast over quads via
+  tiled scale/shift vectors — dense, fused elementwise;
 * the stage block's stride-1 3x3 avg pool (``Res2Net_v1b.py:87-89``,
   torch ``AvgPool2d(3, 1, 1)``, count_include_pad=True) is a 9-tap
-  zero-fill shifted mean over quad slices;
-* BN (eval, folded from running stats) and ReLU are per-channel /
-  elementwise and broadcast over the quad axis unchanged.
+  zero-fill shifted mean over per-quad slices.
 
-Pack once after the stem, run all three blocks packed, unpack once into
-layer 2 — the (88, 88, 64)-in / (88, 88, 256)-out boundary relayouts
-cost ~0.2 ms against ~0.8-0.9 ms saved inside the layer.  Layers 2-4
-stay on the module path: their widths (52/104/208) already pad 1.23-2.5x
-and the boundary relayouts at 512+ channels eat the smaller savings.
+The restructure is exact in real arithmetic — same multiply-add sets
+per output, only each conv's in-kernel reduction order changes (float
+rounding at the compute dtype).  Pack once after the stem, run all
+three blocks packed, unpack once into layer 2.
+
+Measured (round 4, v5e, PraNet-V2 352^2 bs16): still a net LOSS —
+1,827 img/s without vs 1,666 with.  The op profile shows why: the
+pack/unpack boundary relayouts cost ~0.6 ms/iter (XLA materializes the
+(16,44,44,2,2,256) transposes) and the packed residual/BN fusions at
+1024 flat channels give back part of the split-conv savings.  Kept
+opt-in (PRANET2_FUSED=l1pack) as the honest record; making it win
+requires the stem to emit packed directly and layer-2 to consume packed
+(killing both boundaries), which is out of proportion to the remaining
+~0.3 ms upside.
 
 Inference-only: BN folding needs running stats; training uses the module
 path (the caller gates on ``train``).
@@ -46,37 +62,63 @@ _SCALE = 4
 
 
 def pack2(x):
-    """(N, H, W, C) -> (N, H/2, W/2, 4, C); quad index q = a*2 + b holds
-    pixel (2i+a, 2j+b) — the same quad-major layout as the stem."""
+    """(N, H, W, C) -> flat (N, H/2, W/2, 4*C); packed channel q*C + c
+    (quad q = a*2 + b holds pixel (2i+a, 2j+b)) — quad-major, dense lanes."""
     n, h, w, c = x.shape
     z = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    return z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4, c)
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
 
 
 def unpack2(z):
-    """(N, hh, ww, 4, C) -> (N, 2*hh, 2*ww, C)."""
-    n, hh, ww, _, c = z.shape
-    z = z.reshape(n, hh, ww, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-    return z.reshape(n, 2 * hh, 2 * ww, c)
-
-
-def dense_q(z, w, dt):
-    """1x1 conv on the packed grid: same (C, Co) dense per quad block."""
-    return jnp.einsum("nhwqc,cd->nhwqd", z.astype(dt), w.astype(dt))
+    """flat (N, hh, ww, 4*C) -> (N, 2*hh, 2*ww, C)."""
+    n, hh, ww, c4 = z.shape
+    z = z.reshape(n, hh, ww, 2, 2, c4 // 4).transpose(0, 1, 3, 2, 4, 5)
+    return z.reshape(n, 2 * hh, 2 * ww, c4 // 4)
 
 
 def conv3x3_q(z, k, dt):
     """Stride-1 zero-pad 3x3 conv on the packed grid.
 
-    z: (N, hh, ww, 4, C); k: the canonical (3, 3, C, Co) HWIO kernel.
-    Returns (N, hh, ww, 4, Co).
+    z: flat (N, hh, ww, 4*C) quad-major; k: the canonical (3, 3, C, Co)
+    HWIO kernel.  Returns flat (N, hh, ww, 4*Co) quad-major.
     """
-    n, hh, ww, _, c = z.shape
-    zf = z.reshape(n, hh, ww, 4 * c)
-    out = lax.conv_general_dilated(
-        zf.astype(dt), _scatter_w(k).astype(dt), (1, 1),
+    return lax.conv_general_dilated(
+        z.astype(dt), _scatter_w(k).astype(dt), (1, 1),
         ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return out.reshape(n, hh, ww, 4, -1)
+
+
+def _w1_packed(w1, scale, width):
+    """(Cin, scale*w) 1x1 kernel -> (4*Cin, scale*4*w) packed matmul weight:
+    rows q*Cin + ci, cols g*4w + q2*w + c, nonzero iff q == q2."""
+    cin = w1.shape[0]
+    w1r = w1.reshape(cin, scale, width)
+    eye = jnp.eye(4, dtype=w1.dtype)
+    wp = jnp.einsum("qQ,igc->qigQc", eye, w1r)
+    return wp.reshape(4 * cin, scale * 4 * width)
+
+
+def _w3_packed(w3, scale, width):
+    """(scale*w, Cout) 1x1 kernel -> (scale*4*w, 4*Cout): rows g*4w + Q*w + c,
+    cols q*Cout + co, nonzero iff Q == q."""
+    cout = w3.shape[1]
+    w3r = w3.reshape(scale, width, cout)
+    eye = jnp.eye(4, dtype=w3.dtype)
+    wp = jnp.einsum("Qq,gci->gQcqi", eye, w3r)
+    return wp.reshape(scale * 4 * width, 4 * cout)
+
+
+def _wd_packed(wd):
+    """(Cin, Cout) 1x1 kernel -> (4*Cin, 4*Cout) block-diagonal per quad."""
+    cin, cout = wd.shape
+    eye = jnp.eye(4, dtype=wd.dtype)
+    return jnp.einsum("qQ,ic->qiQc", eye, wd).reshape(4 * cin, 4 * cout)
+
+
+def _tile_groups(v, scale, width):
+    """Logical per-channel vector (scale*w,) -> packed group-major layout
+    g*4w + q*w + c (each group's w values repeated over the 4 quads)."""
+    return jnp.broadcast_to(
+        v.reshape(scale, 1, width), (scale, 4, width)).reshape(-1)
 
 
 def _shift0(x, dr, dc):
@@ -93,9 +135,13 @@ def _shift0(x, dr, dc):
 def avgpool3x3_s1_q(z):
     """torch ``AvgPool2d(3, 1, 1)`` (count_include_pad=True) on the packed
     grid: pixel (2r+a, 2c+b) averages rows {2r+a-1, 2r+a, 2r+a+1} — each a
-    (quad, packed-shift) pair — over 9 taps, zeros outside the image."""
-    n, hh, ww, _, c = z.shape
-    quads = [z[:, :, :, q] for q in range(4)]  # (a*2+b)
+    (quad, packed-shift) pair — over 9 taps, zeros outside the image.
+
+    z: flat (N, hh, ww, 4*C) quad-major; returns the same layout.
+    """
+    n, hh, ww, c4 = z.shape
+    c = c4 // 4
+    quads = [z[..., q * c:(q + 1) * c] for q in range(4)]
 
     def taps(a):
         # pixel row 2r+a+da -> (quad a2, packed row shift)
@@ -114,43 +160,53 @@ def avgpool3x3_s1_q(z):
                     src = quads[a2 * 2 + b2].astype(jnp.float32)
                     # shift the packed map so source row r+dr lands at r
                     acc = acc + _shift0(src, -dr, -dc)
-            outs.append(acc / 9.0)
-    return jnp.stack(outs, axis=3).astype(z.dtype)
+            outs.append((acc / 9.0).astype(z.dtype))
+    return jnp.concatenate(outs, axis=-1)
 
 
 def bottle2neck_q(xp, p, dt, stype: str = "normal"):
     """One stride-1 Bottle2neck on the packed grid (eval, folded BN).
 
-    xp: (N, hh, ww, 4, Cin).  p: dict with ``w1`` (Cin, 4w), ``f1``
-    (scale, shift), ``kd`` list of (3, 3, w, w), ``fd`` list, ``w3``
-    (4w, Cout), ``f3``, and optionally ``wdown``/``fdown`` for the
-    stage block's 1x1 downsample.  Mirrors the module path at
-    ``models/backbones/res2net.py:111-152``.
+    xp: flat (N, hh, ww, 4*Cin) quad-major.  p: dict with ``w1``
+    (Cin, scale*w), ``f1`` (scale, shift), ``kd`` list of (3, 3, w, w),
+    ``fd`` list, ``w3`` (scale*w, Cout), ``f3``, and optionally
+    ``wdown``/``fdown`` for the stage block's 1x1 downsample.  Mirrors the
+    module path at ``models/backbones/res2net.py:111-152``.
     """
-    def bnr(v, f):
-        s, t = f
+    width = p["kd"][0].shape[2]
+    scale = _SCALE
+
+    def bnr(v, s, t):
         return jnp.maximum(v.astype(jnp.float32) * s + t, 0.0).astype(dt)
 
-    u = bnr(dense_q(xp, p["w1"], dt), p["f1"])
-    width = u.shape[-1] // _SCALE
-    groups = [u[..., g * width:(g + 1) * width] for g in range(_SCALE)]
+    def dot(v, w):
+        return jnp.einsum("nhwi,ij->nhwj", v.astype(dt), w.astype(dt))
+
+    s1, t1 = p["f1"]
+    u = bnr(dot(xp, _w1_packed(p["w1"], scale, width)),
+            _tile_groups(s1, scale, width), _tile_groups(t1, scale, width))
+    groups = [u[..., g * 4 * width:(g + 1) * 4 * width]
+              for g in range(scale)]
     parts = []
     sp = None
-    for i in range(_SCALE - 1):
+    for i in range(scale - 1):
         v = groups[i] if (i == 0 or stype == "stage") else groups[i] + sp
-        sp = bnr(conv3x3_q(v, p["kd"][i], dt), p["fd"][i])
+        si, ti = p["fd"][i]
+        sp = bnr(conv3x3_q(v, p["kd"][i], dt),
+                 jnp.tile(si, 4), jnp.tile(ti, 4))
         parts.append(sp)
     if stype == "normal":
         parts.append(groups[-1])
     else:
         parts.append(avgpool3x3_s1_q(groups[-1]))
-    cat = jnp.concatenate(parts, axis=-1)
-    out = dense_q(cat, p["w3"], dt).astype(jnp.float32)
+    cat = jnp.concatenate(parts, axis=-1)           # group-major ✔
+    out = dot(cat, _w3_packed(p["w3"], scale, width)).astype(jnp.float32)
     s3, t3 = p["f3"]
-    out = out * s3 + t3
+    out = out * jnp.tile(s3, 4) + jnp.tile(t3, 4)
     if "wdown" in p:
         sd, td = p["fdown"]
-        short = dense_q(xp, p["wdown"], dt).astype(jnp.float32) * sd + td
+        short = dot(xp, _wd_packed(p["wdown"])).astype(jnp.float32)
+        short = short * jnp.tile(sd, 4) + jnp.tile(td, 4)
     else:
         short = xp.astype(jnp.float32)
     return jnp.maximum(out + short, 0.0).astype(dt)

@@ -92,13 +92,25 @@ def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     tile4 = lambda v: jnp.tile(v, 4)
+
+    def bnrelu(v, s, t):
+        # Affine at the compute dtype: the round-3 f32 form made XLA
+        # materialize an f32[16,88,88,128] intermediate (0.30 ms/iter at
+        # 352^2 bs16) — twice the compute dtype's bytes — and even with an
+        # explicit in-expression downcast XLA kept the f32 tensor.  The
+        # folded scale/shift stay exact in f32 until the cast; doing the
+        # per-element affine in bf16 is within the bf16 path's tolerance
+        # (gated by tests/test_stem_s2d.py and the full-model fused-vs-
+        # unfused parity test).
+        return jnp.maximum(v * tile4(s).astype(dt) + tile4(t).astype(dt),
+                           jnp.zeros((), dt))
+
     z = conv(x, _scatter_w1(k1), 4, ((1, 0), (1, 0)))
-    z = jnp.maximum(z.astype(jnp.float32) * tile4(s1) + tile4(t1), 0.0)
-    z = conv(z.astype(dt), _scatter_w(k2), 1, ((1, 1), (1, 1)))
-    z = jnp.maximum(z.astype(jnp.float32) * tile4(s2) + tile4(t2), 0.0)
-    z = conv(z.astype(dt), _scatter_w(k3), 1, ((1, 1), (1, 1)))
-    z = jnp.maximum(z.astype(jnp.float32) * tile4(s3) + tile4(t3), 0.0)
-    z = z.astype(dt)
+    z = bnrelu(z, s1, t1)
+    z = conv(z, _scatter_w(k2), 1, ((1, 1), (1, 1)))
+    z = bnrelu(z, s2, t2)
+    z = conv(z, _scatter_w(k3), 1, ((1, 1), (1, 1)))
+    z = bnrelu(z, s3, t3)
 
     # maxpool 3x3/2 pad 1 on the packed grid: out(r,c) covers pixel rows
     # {2r-1, 2r, 2r+1} = packed (r-1,a=1), (r,a=0), (r,a=1); same for cols.

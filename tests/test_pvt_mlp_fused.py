@@ -314,6 +314,57 @@ def test_full_model_fused_vs_unfused_tpu(rng, model_name, monkeypatch):
         assert np.abs(a - b).max() / scale < 0.08, model_name
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused train-step parity needs the chip")
+def test_train_step_fused_vs_unfused_tpu(rng, monkeypatch):
+    """bf16 TRAIN step (value_and_grad through the Pallas custom VJPs) must
+    match the plain-XLA bf16 step on the same params: loss and parameter
+    gradients at bf16 tolerance (VERDICT r3 #5 — the fused path extends to
+    training, not just inference)."""
+    from pranet2_tpu.losses import structure_loss
+    from pranet2_tpu.models import get_model
+
+    x = jnp.asarray(rng.standard_normal((2, 352, 352, 3)), jnp.float32)
+    gts = jnp.asarray((rng.random((2, 352, 352, 1)) > 0.5)
+                      .astype(np.float32))
+
+    def grads_for(no_fused):
+        if no_fused:
+            monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+        else:
+            monkeypatch.delenv("PRANET2_NO_FUSED", raising=False)
+        m = get_model("pvt_pranet_v2", num_class=1, dtype=jnp.bfloat16)
+        v = jax.jit(m.init)(jax.random.key(0), x)
+
+        def lf(p):
+            o, _ = m.apply({"params": p, **{k: v[k] for k in v
+                                            if k != "params"}}, x, True,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.key(0)})
+            bg = 1.0 - gts
+            return sum(structure_loss(f, b, gts, bg)
+                       for f, b in zip(o[:4], o[4:]))
+
+        loss, g = jax.jit(jax.value_and_grad(lf))(v["params"])
+        return float(loss), g
+
+    loss_f, g_f = grads_for(False)
+    loss_p, g_p = grads_for(True)
+    assert np.isfinite(loss_f) and np.isfinite(loss_p)
+    assert abs(loss_f - loss_p) / max(abs(loss_p), 1.0) < 0.05
+    flat_f = jax.tree.leaves(g_f)
+    flat_p = jax.tree.leaves(g_p)
+    # global gradient direction must agree (per-leaf bf16 noise is large on
+    # tiny tensors; the training signal is the aggregate)
+    num = sum(float(jnp.vdot(a.astype(jnp.float32), b.astype(jnp.float32)))
+              for a, b in zip(flat_f, flat_p))
+    na = sum(float(jnp.vdot(a.astype(jnp.float32), a.astype(jnp.float32)))
+             for a in flat_f) ** 0.5
+    nb = sum(float(jnp.vdot(b.astype(jnp.float32), b.astype(jnp.float32)))
+             for b in flat_p) ** 0.5
+    assert num / (na * nb) > 0.99, (num / (na * nb), loss_f, loss_p)
+
+
 # ---------------- whole-block fusion (ops/pvt_block.py) ----------------
 
 

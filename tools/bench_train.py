@@ -138,17 +138,33 @@ def main():
 
     kind, peak = device_peak_tflops()
     print(f"device: {kind}")
-    for name, bs, dt in [("pranet_v2", 8, None), ("pranet_v2", 32, None),
-                         ("pranet_v2", 32, jnp.bfloat16),
-                         ("pvt_pranet_v2", 16, None),
-                         ("pvt_pranet_v2", 16, jnp.bfloat16)]:
+    import os
+
+    for name, bs, dt, fused in [
+        ("pranet_v2", 8, None, None), ("pranet_v2", 32, None, None),
+        ("pranet_v2", 32, jnp.bfloat16, True),
+        ("pranet_v2", 32, jnp.bfloat16, False),
+        ("pvt_pranet_v2", 16, None, None),
+        # bf16 fused-vs-unfused train ablation (VERDICT r3 #5): the Pallas
+        # kernels' custom VJPs run under value_and_grad; env is read at
+        # trace time and each row builds a fresh model + jit.
+        ("pvt_pranet_v2", 16, jnp.bfloat16, True),
+        ("pvt_pranet_v2", 16, jnp.bfloat16, False),
+    ]:
         tag = "bf16" if dt is not None else "f32"
+        if fused is False:
+            os.environ["PRANET2_NO_FUSED"] = "1"
+            tag += " unfused"
+        elif dt is not None:
+            tag += " fused"
         try:
             ms, fps, cost = bench_binary(name, bs=bs, dtype=dt)
         except Exception as e:  # one row's failure must not kill the table
             print(f"{name:16s} bs={bs:3d} {tag}: FAILED "
                   f"{type(e).__name__}: {e}")
             continue
+        finally:
+            os.environ.pop("PRANET2_NO_FUSED", None)
         print(f"{name:16s} bs={bs:3d} {tag}: {ms:7.2f} ms/step, "
               f"{fps:7.1f} img/s, {_fmt_cost(ms, cost, peak)}")
     for name, bs, size, dt, remat in [

@@ -57,28 +57,30 @@ def main():
     from pranet2_tpu.models import get_model
 
     print(f"device: {jax.devices()[0].device_kind}")
-    # (label, PRANET2_FUSED, PVT_MLP_TAPS, PVT_ATTN_IMPL)
+    # (label, PRANET2_FUSED, PVT_MLP_TAPS, PVT_ATTN_IMPL, PVT_MLP_GELU)
     rows = [
-        ("none",             "",         "lowp", ""),
-        ("mlp/f32taps",      "mlp",      "f32",  ""),
-        ("mlp/bf16taps",     "mlp",      "lowp", ""),
-        ("attn-v1",          "attn",     "lowp", "v1"),
-        ("attn-v2",          "attn",     "lowp", "v2"),
-        ("mlp/f32+attn-v1",  "mlp,attn", "f32",  "v1"),
-        ("mlp/f32+attn-v2",  "mlp,attn", "f32",  "v2"),
-        ("mlp/bf16+attn-v1", "mlp,attn", "lowp", "v1"),
+        ("mlp/f32+attn-v1",     "mlp,attn", "f32",  "v1", "f32"),
+        ("mlp/f32+v1+gelu16",   "mlp,attn", "f32",  "v1", "bf16"),
+        ("mlp/bf16+v1+gelu16",  "mlp,attn", "lowp", "v1", "bf16"),
+        ("mlp/bf16+attn-v1",    "mlp,attn", "lowp", "v1", "f32"),
+        ("mlp/f32+attn-v2",     "mlp,attn", "f32",  "v2", "f32"),
+        ("mlp/f32taps",         "mlp",      "f32",  "",   "f32"),
+        ("attn-v1",             "attn",     "f32",  "v1", "f32"),
+        ("none",                "",         "f32",  "",   "f32"),
     ]
-    for label, comps, taps, attn in rows:
+    for label, comps, taps, attn, gelu in rows:
         os.environ["PRANET2_FUSED"] = comps
         os.environ["PVT_MLP_TAPS"] = taps
         os.environ["PVT_ATTN_IMPL"] = attn
+        os.environ["PVT_MLP_GELU"] = gelu
         try:
             fps = bench_fwd(get_model("pvt_pranet_v2", num_class=1,
                                       dtype=jnp.bfloat16))
             print(f"{label:18s} {fps:8.1f} img/s", flush=True)
         except Exception as e:
             print(f"{label:18s} FAILED {type(e).__name__}: {e}", flush=True)
-    for k in ("PRANET2_FUSED", "PVT_MLP_TAPS", "PVT_ATTN_IMPL"):
+    for k in ("PRANET2_FUSED", "PVT_MLP_TAPS", "PVT_ATTN_IMPL",
+              "PVT_MLP_GELU"):
         os.environ.pop(k, None)
 
 
