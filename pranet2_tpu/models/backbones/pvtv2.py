@@ -312,7 +312,7 @@ class _Block(nn.Module):
     fused_block: bool = False  # whole-block kernel (ops/pvt_block.py)
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, final_ln=None):
         dt = self.dtype
         rng = None
         if not deterministic and self.drop_path > 0:
@@ -333,10 +333,19 @@ class _Block(nn.Module):
             return fused_pvt_block(
                 x, lns1, lnb1, *ap, lns2, lnb2, w1, b1, dwk[:, :, 0, :],
                 dwb, w2, b2, self.sr_ratio, self.num_heads, 1e-6, 1e-6)
-        if self.fused_attn and deterministic:
+        if self.fused_attn:
+            # fused in train too (VERDICT r3 #5): the kernel's custom VJP
+            # recomputes through the XLA reference; stochastic depth is
+            # recovered OUTSIDE the kernel (branch = out - x, one bf16
+            # rounding) so train semantics match the module chain.
             lns1, lnb1 = _LNParams(name="norm1")(self.dim)
-            x = _FusedSRAttention(self.dim, self.num_heads, self.sr_ratio,
+            o = _FusedSRAttention(self.dim, self.num_heads, self.sr_ratio,
                                   dt, name="attn")(x, lns1, lnb1)
+            if rng is not None:
+                x = x + _drop_path(o - x, self.drop_path, deterministic,
+                                   rng1)
+            else:
+                x = o
         else:
             y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                              name="norm1")(x)
@@ -345,17 +354,28 @@ class _Block(nn.Module):
             if rng is not None:
                 y = _drop_path(y, self.drop_path, deterministic, rng1)
             x = x + y
-        if self.fused_mlp and deterministic:
+        if self.fused_mlp:
             # one-pass Pallas kernel: x + fc2(gelu(dw(fc1(LN(x))))) — same
-            # param tree as the module path (see ops/pvt_mlp.py)
-            from pranet2_tpu.ops.pvt_mlp import fused_mlp_block
+            # param tree as the module path (see ops/pvt_mlp.py).  When
+            # final_ln=(scale, bias) is passed (last block of a stage, eval)
+            # the stage-end LayerNorm runs in the kernel epilogue.
+            from pranet2_tpu.ops.pvt_mlp import (fused_mlp_block,
+                                                 fused_mlp_block_final_ln)
 
             lns, lnb = _LNParams(name="norm2")(self.dim)
             w1, b1, dwk, dwb, w2, b2 = _MlpParams(
                 self.dim * self.mlp_ratio, self.dim,
                 name="mlp")(self.dim)
-            return fused_mlp_block(x, lns, lnb, w1, b1, dwk[:, :, 0, :],
-                                   dwb, w2, b2, 1e-6)
+            if final_ln is not None and rng is None:
+                return fused_mlp_block_final_ln(
+                    x, lns, lnb, w1, b1, dwk[:, :, 0, :], dwb, w2, b2,
+                    final_ln[0], final_ln[1], 1e-6, 1e-6)
+            o = fused_mlp_block(x, lns, lnb, w1, b1, dwk[:, :, 0, :],
+                                dwb, w2, b2, 1e-6)
+            if rng is not None:
+                o = x + _drop_path(o - x, self.drop_path, deterministic,
+                                   rng2)
+            return o
         y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                          name="norm2")(x)
         y = _Mlp(self.dim * self.mlp_ratio, self.dim, dt,
@@ -418,15 +438,27 @@ class PVTv2(nn.Module):
                         name=f"patch_embed{si + 1}_proj")(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
                              name=f"patch_embed{si + 1}_norm")(x)
+            # stage-end LN folds into the last fused MLP kernel's epilogue
+            # (eval): the standalone LN costs a full read+lane-reduce+write
+            # pass over the stage tensor.  Params stay at the same tree path
+            # (norm{si+1}) either way — checkpoint layout is unchanged.
+            fold_ln = fused[si] and deterministic and not fblock
             for bi in range(self.depths[si]):
+                last = bi == self.depths[si] - 1
+                fln = None
+                if fold_ln and last:
+                    fln = _LNParams(name=f"norm{si + 1}")(dim)
                 x = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
                            _SR_RATIOS[si], dpr[cur + bi], dt,
                            fused_mlp=fused[si], fused_attn=fattn[si],
                            fused_block=fblock,
-                           name=f"block{si + 1}_{bi}")(x, deterministic)
+                           name=f"block{si + 1}_{bi}")(x, deterministic,
+                                                       final_ln=fln)
             cur += self.depths[si]
-            x = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
-                             name=f"norm{si + 1}")(x)
+            if not fold_ln:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=dt,
+                                 param_dtype=jnp.float32,
+                                 name=f"norm{si + 1}")(x)
             outs.append(x)
         return tuple(outs)
 

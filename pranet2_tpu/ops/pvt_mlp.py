@@ -96,7 +96,15 @@ def _gelu_erf(x):
 
 
 def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-            dwk_ref, dwb_ref, w2_ref, b2_ref, o_ref, *, eps: float):
+            dwk_ref, dwb_ref, w2_ref, b2_ref, *rest, eps: float,
+            final_eps: float | None = None):
+    if final_eps is None:
+        (o_ref,) = rest
+        lnsf_ref = lnbf_ref = None
+    else:
+        # stage-end LayerNorm folded into the epilogue: two extra (d,)
+        # param refs ahead of the output ref
+        lnsf_ref, lnbf_ref, o_ref = rest
     i = pl.program_id(1)
     nh = pl.num_programs(1)
     xc = xc_ref[0]                                   # (h_t, W, D)
@@ -171,7 +179,20 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     out = jnp.dot(g.reshape(ht * w, c).astype(xc.dtype), w2_ref[...],
                   preferred_element_type=jnp.float32)
     out = out + b2_ref[...].astype(jnp.float32)
-    o_ref[0] = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+    if final_eps is None:
+        o_ref[0] = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+        return
+    # ---- stage-end LayerNorm epilogue (per-token over d; free in VMEM) --
+    # The standalone LN otherwise costs a full read + lane-dim reduce +
+    # write pass over the stage tensor (measured ~0.3 ms/iter at stage 1,
+    # 352^2 bs16 — the convert_reduce fusions in the round-4 profile).
+    of = xc.astype(jnp.float32) + out.reshape(ht, w, d)
+    mu = jnp.mean(of, axis=-1, keepdims=True)
+    var = jnp.mean(of * of, axis=-1, keepdims=True) - mu * mu
+    y = (of - mu) * lax.rsqrt(var + final_eps)
+    y = y * lnsf_ref[...].astype(jnp.float32) + \
+        lnbf_ref[...].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def _pick_ht(h: int, w: int, c: int) -> int | None:
@@ -229,23 +250,41 @@ def fused_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
     return _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps)
 
 
-def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):
+def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
+          lnsf=None, lnbf=None, final_eps=None):
     from pranet2_tpu.ops._pallas import interpret_mode, use_kernel
 
     n, h, w, d = x.shape
     c = w1.shape[-1]
     ht = _pick_ht(h, w, c) if _HAS_PLTPU else None
     if ht is None or not use_kernel(_HAS_PLTPU):
-        return reference_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
-                                   eps=eps)
+        out = reference_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
+                                  eps=eps)
+        if final_eps is not None:
+            out = reference_final_ln(out, lnsf, lnbf, final_eps)
+        return out
     dt = x.dtype
     grid = (n, h // ht)
     xspec = lambda im: pl.BlockSpec((1, ht, w, d), im,
                                     memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(
         shape, lambda ni, hi: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        xspec(lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
+        xspec(lambda ni, hi: (ni, hi, 0, 0)),
+        xspec(lambda ni, hi: (ni, jnp.minimum(hi + 1, h // ht - 1), 0, 0)),
+        wspec((d,)), wspec((d,)),
+        wspec((d, c)), wspec((c,)),
+        wspec((3, 3, c)), wspec((c,)),
+        wspec((c, d)), wspec((d,)),
+    ]
+    args = [x, x, x, lns, lnb, w1.astype(dt), b1, dwk, dwb,
+            w2.astype(dt), b2]
+    if final_eps is not None:
+        in_specs += [wspec((d,)), wspec((d,))]
+        args += [lnsf, lnbf]
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, final_eps=final_eps),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d), dt),
         # default scoped-vmem limit is 16M; the bf16-tap variant peaks a few
         # hundred KB over it at the stage-2 shape (v5e has far more VMEM)
@@ -253,18 +292,50 @@ def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret_mode(),
         grid=grid,
-        in_specs=[
-            xspec(lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
-            xspec(lambda ni, hi: (ni, hi, 0, 0)),
-            xspec(lambda ni, hi: (ni, jnp.minimum(hi + 1, h // ht - 1), 0, 0)),
-            wspec((d,)), wspec((d,)),
-            wspec((d, c)), wspec((c,)),
-            wspec((3, 3, c)), wspec((c,)),
-            wspec((c, d)), wspec((d,)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ht, w, d), lambda ni, hi: (ni, hi, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(x, x, x, lns, lnb, w1.astype(dt), b1, dwk, dwb, w2.astype(dt), b2)
+    )(*args)
+
+
+def reference_final_ln(x, lns, lnb, eps):
+    """Plain-XLA stage-end LayerNorm (fallback + VJP recompute path)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    return (y * lns + lnb).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_mlp_block_final_ln(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
+                             lnsf, lnbf, eps: float = 1e-6,
+                             final_eps: float = 1e-6):
+    """``LN_f(x + fc2(gelu(dwconv3x3(fc1(LN(x))))))`` — the last MLP block
+    of a PVTv2 stage with the stage-end LayerNorm (``pvtv2.py norm{1-4}``,
+    reference ``binary_seg/lib/pvtv2.py forward_features``) folded into the
+    kernel epilogue, saving the standalone LN's full read+reduce+write pass
+    over the stage tensor."""
+    return _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
+                 lnsf, lnbf, final_eps)
+
+
+def _vjp_fwd_ln(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, lnsf, lnbf,
+                eps, final_eps):
+    out = _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
+                lnsf, lnbf, final_eps)
+    return out, (x, lns, lnb, w1, b1, dwk, dwb, w2, b2, lnsf, lnbf)
+
+
+def _vjp_bwd_ln(eps, final_eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: reference_final_ln(
+            reference_mlp_block(*a[:9], eps=eps), a[9], a[10], final_eps),
+        *res)
+    return vjp(g)
+
+
+fused_mlp_block_final_ln.defvjp(_vjp_fwd_ln, _vjp_bwd_ln)
 
 
 def _vjp_fwd(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps):

@@ -73,6 +73,48 @@ def test_mlp_kernel_interpret_bf16(rng, monkeypatch):
     assert _rel_err(got, want) < 0.04
 
 
+@pytest.mark.parametrize("ht", [None, 2])
+def test_mlp_kernel_final_ln_interpret(rng, ht, monkeypatch):
+    """Stage-end LN folded into the kernel epilogue == block then LN."""
+    from pranet2_tpu.ops import pvt_mlp
+
+    if ht is not None:
+        monkeypatch.setattr(pvt_mlp, "_pick_ht", lambda *a: ht)
+    a = _mlp_args(rng)
+    d = a[0].shape[-1]
+    lnsf = jnp.asarray(rng.standard_normal((d,)) * 0.2 + 1.0, jnp.float32)
+    lnbf = jnp.asarray(rng.standard_normal((d,)) * 0.2, jnp.float32)
+    got = pvt_mlp.fused_mlp_block_final_ln(*a, lnsf, lnbf, 1e-6, 1e-6)
+    want = pvt_mlp.reference_final_ln(
+        pvt_mlp.reference_mlp_block(*a), lnsf, lnbf, 1e-6)
+    assert _rel_err(got, want) < 3e-3
+
+
+def test_mlp_kernel_final_ln_grads_interpret(rng, monkeypatch):
+    """custom VJP of the final-LN variant vs autodiff of the reference."""
+    from pranet2_tpu.ops import pvt_mlp
+
+    monkeypatch.setattr(pvt_mlp, "_pick_ht", lambda *a: 2)
+    a = _mlp_args(rng)
+    d = a[0].shape[-1]
+    lnsf = jnp.asarray(rng.standard_normal((d,)) * 0.2 + 1.0, jnp.float32)
+    lnbf = jnp.asarray(rng.standard_normal((d,)) * 0.2, jnp.float32)
+
+    def loss(x, lnsf, lnbf):
+        return jnp.sum(jnp.sin(
+            pvt_mlp.fused_mlp_block_final_ln(x, *a[1:], lnsf, lnbf,
+                                             1e-6, 1e-6)))
+
+    def loss_ref(x, lnsf, lnbf):
+        return jnp.sum(jnp.sin(pvt_mlp.reference_final_ln(
+            pvt_mlp.reference_mlp_block(x, *a[1:]), lnsf, lnbf, 1e-6)))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(a[0], lnsf, lnbf)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(a[0], lnsf, lnbf)
+    for gi, gri in zip(g, gr):
+        assert _rel_err(gi, gri) < 5e-3
+
+
 # ---------------------------------------------------------------- pvt_attn
 
 
