@@ -432,10 +432,21 @@ class PVTv2(nn.Module):
                 patch, stride, pad = 7, 4, 3
             else:
                 patch, stride, pad = 3, 2, 1
-            x = nn.Conv(dim, (patch, patch), strides=(stride, stride),
-                        padding=((pad, pad), (pad, pad)), dtype=dt,
-                        param_dtype=jnp.float32,
-                        name=f"patch_embed{si + 1}_proj")(x)
+            if (si == 0 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+                    and component_enabled("pes2d", dt == jnp.bfloat16)):
+                # exact space-to-depth restructure of the Cin=3 stride-4
+                # embed (ops/patch_embed.py) — same param tree
+                from pranet2_tpu.ops.patch_embed import s2d_patch_embed
+
+                k, bias = _ConvBiasParams(dim, patch,
+                                          name=f"patch_embed{si + 1}_proj")(
+                    x.shape[-1])
+                x = s2d_patch_embed(x, k, bias, dt)
+            else:
+                x = nn.Conv(dim, (patch, patch), strides=(stride, stride),
+                            padding=((pad, pad), (pad, pad)), dtype=dt,
+                            param_dtype=jnp.float32,
+                            name=f"patch_embed{si + 1}_proj")(x)
             x = nn.LayerNorm(epsilon=1e-5, dtype=dt, param_dtype=jnp.float32,
                              name=f"patch_embed{si + 1}_norm")(x)
             # stage-end LN folds into the last fused MLP kernel's epilogue

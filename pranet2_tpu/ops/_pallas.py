@@ -57,4 +57,6 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     # separate-kernel knobs (exp_pvt_matrix, PVT bs16): f32 taps + attn v1
     # = 1,323.7 img/s; bf16 taps 823; bf16 GELU 1,153; attn v2 1,293 —
     # the f32/v1 defaults below stand.
+    # pes2d (space-to-depth stage-1 patch embed) measured a default win:
+    # PVT-PraNet-V2 bs16 1,323.9 -> 1,345.7 img/s, full-model parity OK.
     return name not in ("res2block", "l1pack", "blockfuse")
