@@ -254,6 +254,13 @@ class Res2Net(nn.Module):
             f2 = fold_bn(*_BNParams(name="conv1_4")(32))
             k3 = _ConvParams(64, 3, name="conv1_6")(32)
             f3 = fold_bn(*_BNParams(name="bn1")(64))
+            # s2d_stem computes at x.dtype — cast to the model compute
+            # dtype first (the module path gets this from nn.Conv's
+            # dtype=dt).  Without it the raw f32 input made the whole
+            # stem run f32: every 88^2 intermediate at 2x bytes, 22 f32
+            # stem tensors in the bf16 program (round-4 profile).
+            if dt is not None:
+                x = x.astype(dt)
             x = s2d_stem(x, k1, *f1, k2, *f2, k3, *f3)
         else:
             x = nn.relu(bn("conv1_1")(conv(32, 3, 2, "conv1_0", pad=1)(x)))

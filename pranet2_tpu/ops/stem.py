@@ -47,6 +47,35 @@ def _scatter_w1(k1):
     return w
 
 
+def _scatter_w1_packed(k1):
+    """conv1 kernel -> (2,2,16*Cin,128) kernel over the 4x4-packed INPUT.
+
+    Composition of two exact restructures: ``_scatter_w1`` turns
+    conv1(3x3/2)+s2d into a (5,5,Cin,128) stride-4 conv (pad ((1,0),(1,0)),
+    taps di in [-1,3]); consuming ``patch_embed.pack4``-packed input then
+    re-scatters those taps onto the flat quad-major channels, the same move
+    as the PVT stage-1 embed (``ops/patch_embed._scatter_embed_w``).  The
+    win is the conv emitter: Cin=3 forces XLA's batch-in-sublanes emitter
+    plus a raw-input relayout copy (0.27 ms/iter at 352^2 bs16); the packed
+    form is a dense stride-1 conv over 48 input channels."""
+    w5 = _scatter_w1(k1)
+    cin, dout = w5.shape[2], w5.shape[3]
+    w = jnp.zeros((2, 2, 16 * cin, dout), w5.dtype)
+    for qi in range(2):
+        for a in range(4):
+            di = 4 * (qi - 1) + a
+            if not -1 <= di <= 3:
+                continue
+            for qj in range(2):
+                for b in range(4):
+                    dj = 4 * (qj - 1) + b
+                    if not -1 <= dj <= 3:
+                        continue
+                    q = (a * 4 + b) * cin
+                    w = w.at[qi, qj, q:q + cin, :].set(w5[di + 1, dj + 1])
+    return w
+
+
 def _scatter_w(k):
     """(3,3,C,Co) stride-1 kernel -> (3,3,4C,4Co) packed-grid kernel."""
     c, co = k.shape[2], k.shape[3]
@@ -105,7 +134,9 @@ def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3):
         return jnp.maximum(v * tile4(s).astype(dt) + tile4(t).astype(dt),
                            jnp.zeros((), dt))
 
-    z = conv(x, _scatter_w1(k1), 4, ((1, 0), (1, 0)))
+    from pranet2_tpu.ops.patch_embed import pack4
+
+    z = conv(pack4(x, dt), _scatter_w1_packed(k1), 1, ((1, 0), (1, 0)))
     z = bnrelu(z, s1, t1)
     z = conv(z, _scatter_w(k2), 1, ((1, 1), (1, 1)))
     z = bnrelu(z, s2, t2)
