@@ -156,19 +156,58 @@ class Bottle2neck(nn.Module):
 
         nums = 1 if self.scale == 1 else self.scale - 1
         spx = [out[..., i * width:(i + 1) * width] for i in range(self.scale)]
-        parts = []
-        sp = None
-        for i in range(nums):
-            sp = spx[i] if (i == 0 or self.stype == "stage") else sp + spx[i]
-            sp = conv(width, 3, self.stride, f"convs_{i}", pad=1)(sp)
-            sp = nn.relu(bn(f"bns_{i}")(sp))
-            parts.append(sp)
-        if self.scale != 1:
-            if self.stype == "normal":
-                parts.append(spx[-1])
-            else:  # 'stage': 3x3/stride avg pool on the passthrough group
-                parts.append(avg_pool(spx[-1], 3, self.stride, 1))
-        out = jnp.concatenate(parts, axis=-1)
+        from pranet2_tpu.ops._pallas import component_enabled
+
+        if (self.stype == "stage" and not train and self.scale == 4
+                and width <= 52
+                and component_enabled("gstage", dt == jnp.bfloat16)):
+            # A stage block's split convs are INDEPENDENT (no running-sum
+            # feed, res2net.py:185), so they run as ONE conv over the
+            # contiguous 3*width slice with a BLOCK-DIAGONAL dense kernel:
+            # one lane-padded 3w-channel pass instead of three w-channel
+            # passes (w=26 pads 4.9x at layer 1, w=52 2.5x).  Dense-with-
+            # zeros, NOT feature_group_count: XLA's TPU grouped-conv
+            # lowering measured catastrophic here (bs16 headline 1878.7 ->
+            # 1484.3 img/s), while the 3x MAC inflation of the zero blocks
+            # is ~0.1 ms of MXU at these widths.  Wider stages (104/208)
+            # pad only 1.23x — not worth the FLOPs, hence width <= 52.
+            # Same param tree via holders; eval-only (folded BN).
+            import jax.lax as lax
+
+            from pranet2_tpu.ops.res2_block import fold_bn
+
+            cdt = dt or jnp.float32
+            fs = [fold_bn(*_BNParams(name=f"bns_{i}")(width))
+                  for i in range(3)]
+            kg = jnp.zeros((3, 3, 3 * width, 3 * width), jnp.float32)
+            for i in range(3):
+                k = _ConvParams(width, 3, name=f"convs_{i}")(width)
+                kg = kg.at[:, :, i * width:(i + 1) * width,
+                           i * width:(i + 1) * width].set(k)
+            y = lax.conv_general_dilated(
+                out[..., :3 * width].astype(cdt), kg.astype(cdt),
+                (self.stride, self.stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            s = jnp.concatenate([f[0] for f in fs])
+            t = jnp.concatenate([f[1] for f in fs])
+            y = jnp.maximum(y.astype(jnp.float32) * s + t, 0.0).astype(cdt)
+            out = jnp.concatenate(
+                [y, avg_pool(spx[-1], 3, self.stride, 1)], axis=-1)
+        else:
+            parts = []
+            sp = None
+            for i in range(nums):
+                sp = (spx[i] if (i == 0 or self.stype == "stage")
+                      else sp + spx[i])
+                sp = conv(width, 3, self.stride, f"convs_{i}", pad=1)(sp)
+                sp = nn.relu(bn(f"bns_{i}")(sp))
+                parts.append(sp)
+            if self.scale != 1:
+                if self.stype == "normal":
+                    parts.append(spx[-1])
+                else:  # 'stage': 3x3/stride avg pool on the passthrough
+                    parts.append(avg_pool(spx[-1], 3, self.stride, 1))
+            out = jnp.concatenate(parts, axis=-1)
 
         out = bn("bn3")(conv(self.planes * expansion, 1, 1, "conv3")(out))
 
@@ -241,6 +280,7 @@ class Res2Net(nn.Module):
             return torch_bn(train, dt, name,)
 
         # deep stem: torch names conv1.{0,1,3,4,6} + bn1
+        stem_packed = False
         if s2d and not train and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
             # exact space-to-depth restructure (ops/stem.py): dense-channel
             # convs instead of lane-padded 32/64-wide maps.  Same param
@@ -248,6 +288,12 @@ class Res2Net(nn.Module):
             from pranet2_tpu.ops.res2_block import fold_bn
             from pranet2_tpu.ops.stem import s2d_stem
 
+            # boundary-free packed layer 1: the stem emits its maxpool
+            # output already 2x2-packed (zero relayout), layer 1 runs
+            # packed, and layer 2's stage block consumes packed directly.
+            stem_packed = (l1pack and self.scale == 4
+                           and len(self.layers) >= 2
+                           and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0)
             k1 = _ConvParams(32, 3, name="conv1_0")(x.shape[-1])
             f1 = fold_bn(*_BNParams(name="conv1_1")(32))
             k2 = _ConvParams(32, 3, name="conv1_3")(32)
@@ -261,7 +307,8 @@ class Res2Net(nn.Module):
             # stem tensors in the bf16 program (round-4 profile).
             if dt is not None:
                 x = x.astype(dt)
-            x = s2d_stem(x, k1, *f1, k2, *f2, k3, *f3)
+            x = s2d_stem(x, k1, *f1, k2, *f2, k3, *f3,
+                         packed_out=stem_packed)
         else:
             x = nn.relu(bn("conv1_1")(conv(32, 3, 2, "conv1_0", pad=1)(x)))
             x = nn.relu(bn("conv1_4")(conv(32, 3, 1, "conv1_3", pad=1)(x)))
@@ -271,18 +318,21 @@ class Res2Net(nn.Module):
 
         feats = []
         inplanes = 64
+        x_packed = None
         for li, (planes, blocks) in enumerate(
             zip((64, 128, 256, 512), self.layers), start=1
         ):
             stride = 1 if li == 1 else 2
-            if (li == 1 and l1pack and not train and self.scale == 4
-                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            if li == 1 and (stem_packed or (
+                    l1pack and not train and self.scale == 4
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)):
                 from pranet2_tpu.ops.res2_packed import (
                     bottle2neck_q, pack2, unpack2,
                 )
 
                 cdt = dt or jnp.float32
-                xp = pack2(x)  # flat (N, H/2, W/2, 4*C) quad-major
+                # stem_packed: x is already the packed stem output
+                xp = x if stem_packed else pack2(x)
                 for bi in range(blocks):
                     has_ds = bi == 0 and inplanes != planes * 4
                     p = _Bottle2neckParams(
@@ -290,11 +340,29 @@ class Res2Net(nn.Module):
                         name=f"layer{li}_{bi}")(xp.shape[-1] // 4)
                     xp = bottle2neck_q(
                         xp, p, cdt, stype="stage" if bi == 0 else "normal")
+                if stem_packed:
+                    # layer 2's stage block consumes xp directly; the
+                    # unpacked feats[0] below is for the 4-tuple API only
+                    # (PraNet never reads stage 1, so jit DCEs the unpack)
+                    x_packed = xp
                 x = unpack2(xp)
                 inplanes = planes * 4
                 feats.append(x)
                 continue
-            for bi in range(blocks):
+            first_bi = 0
+            if li == 2 and x_packed is not None:
+                from pranet2_tpu.ops.res2_packed import (
+                    bottle2neck_stage_s2_from_packed,
+                )
+
+                p = _Bottle2neckParams(
+                    planes, True, self.base_width, self.scale,
+                    name=f"layer{li}_0")(x_packed.shape[-1] // 4)
+                x = bottle2neck_stage_s2_from_packed(
+                    x_packed, p, dt or jnp.float32)
+                inplanes = planes * 4
+                first_bi = 1
+            for bi in range(first_bi, blocks):
                 if bi == 0:
                     has_ds = stride != 1 or inplanes != planes * 4
                     x = Bottle2neck(

@@ -26,7 +26,13 @@ from jax import lax
 def pack4(x, dt):
     """(N, H, W, C) -> flat (N, H/4, W/4, 16*C); packed channel q*C + c,
     quad q = a*4 + b holds pixel (4i+a, 4j+b).  Casts to ``dt`` in the
-    same pass."""
+    same pass.
+
+    Keep the reshape/transpose form: it costs two materialized layout
+    copies (~0.25 ms/iter at 352^2 bs16) but a strided-slice + channel
+    concat rewrite measured FAR worse on-chip (PraNet-V2 bs16 1838 ->
+    1336 img/s — 16 strided reads of the raw image defeat the tiled
+    loader), so the transpose is the cheapest known packing."""
     n, h, w, c = x.shape
     z = x.astype(dt).reshape(n, h // 4, 4, w // 4, 4, c)
     return z.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c)

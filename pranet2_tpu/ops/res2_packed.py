@@ -164,6 +164,93 @@ def avgpool3x3_s1_q(z):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _scatter_w_s2(k):
+    """(3,3,C,Co) stride-2 pad-1 kernel -> (2,2,4C,Co) kernel consuming the
+    PACKED grid directly (conv padding ((1,0),(1,0))) and emitting the
+    UNPACKED 1/2-resolution output — the packed->unpacked stage transition
+    without any relayout.  Output (i,j) tap di reads pixel 2i+di-1 = packed
+    (row i+qi-1, parity a2) with (qi, a2, di) in {(0,1,0),(1,0,1),(1,1,2)}."""
+    c, co = k.shape[2], k.shape[3]
+    w = jnp.zeros((2, 2, 4 * c, co), k.dtype)
+    m = ((0, 1, 0), (1, 0, 1), (1, 1, 2))
+    for qi, al, di in m:
+        for qj, be, dj in m:
+            q = (al * 2 + be) * c
+            w = w.at[qi, qj, q:q + c, :].set(k[di, dj])
+    return w
+
+
+def conv3x3_s2_from_packed(zp, k, dt):
+    """Stride-2 3x3 conv reading a packed (N,hh,ww,4C) map, emitting the
+    plain (N,hh,ww,Co) half-resolution output."""
+    return lax.conv_general_dilated(
+        zp.astype(dt), _scatter_w_s2(k).astype(dt), (1, 1),
+        ((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def avgpool3x3_s2_from_packed(zp):
+    """torch ``AvgPool2d(3, 2, 1)`` (count_include_pad=True) reading a
+    packed (N,hh,ww,4C) map, emitting plain (N,hh,ww,C): the same tap
+    structure as ``_scatter_w_s2`` as shifted quad means, zeros outside."""
+    n, hh, ww, c4 = zp.shape
+    c = c4 // 4
+    m = ((0, 1, 0), (1, 0, 1), (1, 1, 2))
+    acc = jnp.zeros((n, hh, ww, c), jnp.float32)
+    for qi, al, _ in m:
+        for qj, be, _ in m:
+            src = zp[..., (al * 2 + be) * c:(al * 2 + be) * c + c]
+            acc = acc + _shift0(src.astype(jnp.float32), 1 - qi, 1 - qj)
+    return (acc / 9.0).astype(zp.dtype)
+
+
+def quad_mean(zp):
+    """2x2/2 average pool of a packed map == mean over the 4 quads.
+    (torch ``AvgPool2d(2, 2, ceil_mode=True, count_include_pad=False)`` on
+    an even-sized map has exactly aligned full windows.)  Returns f32."""
+    c = zp.shape[-1] // 4
+    return sum(zp[..., q * c:(q + 1) * c].astype(jnp.float32)
+               for q in range(4)) / 4.0
+
+
+def bottle2neck_stage_s2_from_packed(xp, p, dt):
+    """The next stage's 'stage' block (stride 2, downsample) consuming the
+    PACKED previous stage directly — the exit boundary of the packed
+    layer-1 path.  The stride-2 split convs read the packed grid with
+    scattered (2,2,4w,w) kernels and emit plain half-resolution maps, the
+    3x3/2 stage pool becomes shifted quad means and the 2x2/2 downsample
+    pool a quad mean, so the ``unpack2`` relayout never materializes.
+    Mirrors ``Bottle2neck(stype='stage', stride=2)``
+    (models/backbones/res2net.py; reference
+    ``binary_seg/lib/Res2Net_v1b.py:44-99``).  Eval-only (folded BN)."""
+    width = p["kd"][0].shape[2]
+    scale = _SCALE
+
+    def bnr(v, s, t):
+        return jnp.maximum(v.astype(jnp.float32) * s + t, 0.0).astype(dt)
+
+    def dot(v, w):
+        return jnp.einsum("nhwi,ij->nhwj", v.astype(dt), w.astype(dt))
+
+    s1, t1 = p["f1"]
+    u = bnr(dot(xp, _w1_packed(p["w1"], scale, width)),
+            _tile_groups(s1, scale, width), _tile_groups(t1, scale, width))
+    parts = []
+    for i in range(scale - 1):
+        g = u[..., i * 4 * width:(i + 1) * 4 * width]
+        si, ti = p["fd"][i]
+        parts.append(bnr(conv3x3_s2_from_packed(g, p["kd"][i], dt), si, ti))
+    parts.append(avgpool3x3_s2_from_packed(
+        u[..., (scale - 1) * 4 * width:]).astype(dt))
+    cat = jnp.concatenate(parts, axis=-1)
+    out = dot(cat, p["w3"]).astype(jnp.float32)
+    s3, t3 = p["f3"]
+    out = out * s3 + t3
+    sd, td = p["fdown"]
+    short = dot(quad_mean(xp).astype(dt), p["wdown"]).astype(jnp.float32)
+    short = short * sd + td
+    return jnp.maximum(out + short, 0.0).astype(dt)
+
+
 def bottle2neck_q(xp, p, dt, stype: str = "normal"):
     """One stride-1 Bottle2neck on the packed grid (eval, folded BN).
 

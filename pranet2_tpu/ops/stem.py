@@ -106,12 +106,16 @@ def _shifted(z, dr, dc):
     return zp[:, max(-dr, 0):max(-dr, 0) + h, max(-dc, 0):max(-dc, 0) + w]
 
 
-def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3):
+def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3, packed_out=False):
     """The full v1b deep stem on the space-to-depth grid.
 
     x: (N, H, W, Cin); k*: the canonical HWIO 3x3 kernels; s*/t*: folded
     inference-BN scale/shift for each stage (widths 32/32/64).  Returns the
-    (N, H/4, W/4, 64) post-maxpool feature map.
+    (N, H/4, W/4, 64) post-maxpool feature map — or, with ``packed_out``,
+    its exact 2x2 space-to-depth packing (N, H/8, W/8, 256) in the
+    quad-major layout ``res2_packed.pack2`` produces, computed directly
+    from the stem's own packed grid (strided shifted maxes) so the packed
+    layer-1 path starts with ZERO relayout at the stem boundary.
     """
     dt = x.dtype
 
@@ -143,15 +147,40 @@ def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3):
     z = conv(z, _scatter_w(k3), 1, ((1, 1), (1, 1)))
     z = bnrelu(z, s3, t3)
 
-    # maxpool 3x3/2 pad 1 on the packed grid: out(r,c) covers pixel rows
-    # {2r-1, 2r, 2r+1} = packed (r-1,a=1), (r,a=0), (r,a=1); same for cols.
-    # (quad r-1 at output r == shift the map DOWN by one, dr=+1)
     co = k3.shape[3]
-    rows = ((1, 1), (0, 0), (0, 1))
-    out = None
-    for dr, a in rows:
-        for dc, b in rows:
-            q = (a * 2 + b) * co
-            term = _shifted(z[..., q:q + co], dr, dc)
-            out = term if out is None else jnp.maximum(out, term)
-    return out
+    if not packed_out:
+        # maxpool 3x3/2 pad 1 on the packed grid: out(r,c) covers pixel rows
+        # {2r-1, 2r, 2r+1} = packed (r-1,a=1), (r,a=0), (r,a=1); same cols.
+        # (quad r-1 at output r == shift the map DOWN by one, dr=+1)
+        rows = ((1, 1), (0, 0), (0, 1))
+        out = None
+        for dr, a in rows:
+            for dc, b in rows:
+                q = (a * 2 + b) * co
+                term = _shifted(z[..., q:q + co], dr, dc)
+                out = term if out is None else jnp.maximum(out, term)
+        return out
+
+    # packed maxpool: output quad (a,b) at (r,c) is the pool output at
+    # pixel (2r+a, 2c+b), covering stem-pixel rows {4r+2a-1 .. 4r+2a+1}
+    # = z's packed (row 2r+d, parity a2); strided shifted maxes, -inf fill.
+    taps = {0: ((-1, 1), (0, 0), (0, 1)), 1: ((0, 1), (1, 0), (1, 1))}
+
+    def strided2(v, dr, dc):
+        neg = jnp.array(-jnp.inf, v.dtype)
+        vp = jnp.pad(v, [(0, 0), (1, 1), (1, 1), (0, 0)],
+                     constant_values=neg)
+        h, w = v.shape[1], v.shape[2]
+        return vp[:, 1 + dr:1 + dr + h:2, 1 + dc:1 + dc + w:2]
+
+    outs = []
+    for a in range(2):
+        for b in range(2):
+            acc = None
+            for dr, a2 in taps[a]:
+                for dc, b2 in taps[b]:
+                    q = (a2 * 2 + b2) * co
+                    t = strided2(z[..., q:q + co], dr, dc)
+                    acc = t if acc is None else jnp.maximum(acc, t)
+            outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)

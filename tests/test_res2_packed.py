@@ -97,6 +97,109 @@ def test_pack_unpack_roundtrip(rng):
                                   np.asarray(x))
 
 
+def test_grouped_stage_convs_match_module_path(monkeypatch):
+    """Stage blocks' independent split convs as one feature-grouped conv
+    (the 'gstage' component) vs the plain module chain, bf16."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), np.float32))
+    m = Res2Net(layers=(2, 2, 1, 1), dtype=jnp.bfloat16)
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    v = m.init(jax.random.key(0), x)
+    outs_a = m.apply(v, x)
+    monkeypatch.delenv("PRANET2_NO_FUSED")
+    monkeypatch.setenv("PRANET2_FUSED", "gstage")
+    outs_b = Res2Net(layers=(2, 2, 1, 1), dtype=jnp.bfloat16).apply(v, x)
+    for a, b in zip(outs_a, outs_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+
+
+def test_grouped_stage_param_tree_invariant(monkeypatch):
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    v0 = Res2Net(layers=(1, 1, 1, 1), dtype=jnp.bfloat16).init(
+        jax.random.key(0), x)
+    monkeypatch.delenv("PRANET2_NO_FUSED")
+    monkeypatch.setenv("PRANET2_FUSED", "gstage")
+    v1 = Res2Net(layers=(1, 1, 1, 1), dtype=jnp.bfloat16).init(
+        jax.random.key(0), x)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert a.shape == b.shape
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_boundary_free_packed_matches_module_path(dtype):
+    """s2d stem emitting packed + packed layer 1 + layer-2 stage block
+    consuming packed (the v3 zero-relayout route) vs the module chain."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), np.float32))
+    base = Res2Net(layers=(3, 4, 1, 1), dtype=dtype, s2d_stem=False,
+                   l1_packed=False)
+    packed = Res2Net(layers=(3, 4, 1, 1), dtype=dtype, s2d_stem=True,
+                     l1_packed=True)
+    v = base.init(jax.random.key(0), x)
+    outs_a = base.apply(v, x)
+    outs_b = packed.apply(v, x)
+    on_tpu = jax.default_backend() == "tpu"
+    tol = (2e-2 if on_tpu else 5e-5) if dtype == jnp.float32 else 0.05
+    for a, b in zip(outs_a, outs_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < tol
+
+
+def test_stem_packed_out_is_pack2_of_unpacked(rng):
+    from pranet2_tpu.ops.res2_block import fold_bn
+    from pranet2_tpu.ops.res2_packed import pack2
+    from pranet2_tpu.ops.stem import s2d_stem
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, 32)) * 0.2, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.1, jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 32, 64)) * 0.1, jnp.float32)
+    fs = [fold_bn(jnp.ones((c,)), jnp.zeros((c,)),
+                  jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32),
+                  jnp.ones((c,)) + 0.5) for c in (32, 32, 64)]
+    flat = s2d_stem(x, k1, *fs[0], k2, *fs[1], k3, *fs[2])
+    packed = s2d_stem(x, k1, *fs[0], k2, *fs[1], k3, *fs[2],
+                      packed_out=True)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(pack2(flat)),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_stage_s2_from_packed_pieces(rng):
+    """conv3x3 stride-2 and both pools reading the packed grid vs the
+    plain ops on the unpacked map."""
+    import jax.lax as lax
+
+    from pranet2_tpu.ops import avg_pool
+    from pranet2_tpu.ops.res2_packed import (
+        avgpool3x3_s2_from_packed, conv3x3_s2_from_packed, pack2, quad_mean,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 8, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 6)) * 0.2, jnp.float32)
+    want = lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = conv3x3_s2_from_packed(pack2(x), k, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    want = avg_pool(x, 3, 2, 1)  # count_include_pad=True, like torch
+    got = avgpool3x3_s2_from_packed(pack2(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+    want = avg_pool(x, 2, 2, 0, count_include_pad=False, ceil_mode=True)
+    got = quad_mean(pack2(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="compiled parity on the chip")
 def test_l1pack_full_model_bf16_tpu(rng, monkeypatch):

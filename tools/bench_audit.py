@@ -110,6 +110,32 @@ def main(batch_size=16, size=352):
         jax.block_until_ready(s)
         report("chained", n, time.perf_counter() - t0)
 
+    # 3b. device-resident loop: lax.scan of K steps inside ONE dispatch,
+    # with a data-dependent carry so steps stay serialized.  Compares the
+    # device's own step rate against the sequential-dispatch protocols: a
+    # gap means the host/tunnel enqueue rate, not the chip, bounds A-C.
+    K = 25
+
+    @jax.jit
+    def fwd_scan(v, x, s0):
+        def step(s, _):
+            outs = model.apply(v, x + 0.0 * s)
+            r = outs[0] + outs[1] + outs[2] + outs[3]
+            return jnp.mean(r).astype(jnp.float32), None
+
+        s, _ = jax.lax.scan(step, s0, None, length=K)
+        return s
+
+    s = fwd_scan(variables, x, jnp.float32(0))
+    jax.block_until_ready(s)
+    print(f"protocol D: device-resident scan({K}) per dispatch")
+    for n in (2, 4):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = fwd_scan(variables, x, s)
+        jax.block_until_ready(s)
+        report("scan-resident", n * K, time.perf_counter() - t0)
+
     # 4. device-side truth: profiler trace of 10 steps
     import glob
     import os
