@@ -51,9 +51,14 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     # reference widths; l1pack regresses PraNet-V2 bs16 even after the
     # round-4 flat-lane rewrite (1,827 -> 1,666 img/s — pack/unpack
     # relayouts ~0.6 ms/iter eat the split-conv savings; round-3 5-D
-    # version was worse still, 1,802 -> 1,436); blockfuse (whole-half
-    # kernels) loses to the separate mlp+attn kernels at every combination
-    # tried (1,293.8 vs 1,329.1 best).  Round-4 matrix re-check of the
+    # version was worse still, 1,802 -> 1,436; and the BOUNDARY-FREE
+    # version — stem emits packed, layer-2 stage block consumes packed,
+    # zero relayouts — still loses 1,966 -> 1,533 img/s, measured round 4b:
+    # the packed 1024-flat-channel residual/BN/ReLU fusions and the 4x-FLOP
+    # block-sparse 1x1s cost more than the 26-wide lane padding they
+    # remove); blockfuse (whole-half kernels) loses to the separate
+    # mlp+attn kernels at every combination tried (1,293.8 vs 1,329.1
+    # best).  Round-4 matrix re-check of the
     # separate-kernel knobs (exp_pvt_matrix, PVT bs16): f32 taps + attn v1
     # = 1,323.7 img/s; bf16 taps 823; bf16 GELU 1,153; attn v2 1,293 —
     # the f32/v1 defaults below stand.
