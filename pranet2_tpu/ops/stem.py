@@ -29,8 +29,17 @@ needs batch stats of the unpacked intermediates; the module path serves it).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+
+try:  # pltpu importable only where Pallas TPU lowering exists
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
 
 
 def _scatter_w1(k1):
@@ -94,6 +103,66 @@ def _scatter_w(k):
     return w
 
 
+def _maxpool_kernel(zp_ref, zc_ref, o_ref, *, co: int):
+    """One-pass packed-grid maxpool 3x3/2 (pad 1, -inf identity).
+
+    The XLA composition of the same 9-shifted-slice max materializes the
+    quad channel-slices and re-reads the (N, H/4, W/4, 4*co) conv3 output
+    across two fusions — 0.48 ms/iter at 352^2 bs16 (round-4b profile:
+    fusion.1368 + fusion.16).  Here each grid step reads its row-tile once
+    (plus a one-row halo from the previous tile) and takes the 9 maxes in
+    VMEM."""
+    i = pl.program_id(1)
+    zc = zc_ref[0]                                    # (ht, W, 4*co)
+    ht, w = zc.shape[0], zc.shape[1]
+    neg = jnp.float32(-jnp.inf)
+    top = jnp.where(i == 0, jnp.full_like(zc[:1], -jnp.inf),
+                    zp_ref[0, ht - 1:ht])
+    # f32 in VMEM: Mosaic's sublane rotate is 32-bit (same move as
+    # pvt_mlp's rolls); the maxpool's VPU work is trivial either way
+    zh = jnp.concatenate([top, zc], axis=0).astype(jnp.float32)
+    # quad planes sliced once; rows/cols then cost only cheap re-slices
+    planes = {q: zh[..., q * co:(q + 1) * co] for q in range(4)}
+    rows = lax.broadcasted_iota(jnp.int32, (ht * w, 1), 0)
+    at_w0 = rows - (rows // w) * w == 0               # wpos == 0
+    taps = ((1, 1), (0, 0), (0, 1))                   # (shift, quad parity)
+    out = None
+    for dr, a in taps:
+        for dc, b in taps:
+            v = planes[a * 2 + b][1 - dr:ht + 1 - dr].reshape(ht * w, co)
+            if dc:
+                # left neighbor == previous flat row; the wrap rows are
+                # exactly the -inf pad positions (wpos == 0)
+                v = jnp.where(at_w0, neg, pltpu.roll(v, 1, axis=0))
+            out = v if out is None else jnp.maximum(out, v)
+    o_ref[0] = out.reshape(ht, w, co).astype(o_ref.dtype)
+
+
+def _maxpool_s2d_pallas(z, co: int):
+    import functools
+
+    n, hq, wq, c4 = z.shape
+    ht = 8
+    return pl.pallas_call(
+        functools.partial(_maxpool_kernel, co=co),
+        grid=(n, hq // ht),
+        in_specs=[
+            pl.BlockSpec((1, ht, wq, c4),
+                         lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)),
+            pl.BlockSpec((1, ht, wq, c4), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ht, wq, co), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hq, wq, co), z.dtype),
+        interpret=_interpret(),
+    )(z, z)
+
+
+def _interpret() -> bool:
+    from pranet2_tpu.ops._pallas import interpret_mode
+
+    return interpret_mode()
+
+
 def _shifted(z, dr, dc):
     """Shift a (N,H,W,C) map by (dr,dc) with -inf fill (maxpool identity)."""
     if dr == 0 and dc == 0:
@@ -152,6 +221,11 @@ def s2d_stem(x, k1, s1, t1, k2, s2, t2, k3, s3, t3, packed_out=False):
         # maxpool 3x3/2 pad 1 on the packed grid: out(r,c) covers pixel rows
         # {2r-1, 2r, 2r+1} = packed (r-1,a=1), (r,a=0), (r,a=1); same cols.
         # (quad r-1 at output r == shift the map DOWN by one, dr=+1)
+        from pranet2_tpu.ops._pallas import component_enabled, use_kernel
+
+        if (use_kernel(_HAS_PLTPU) and component_enabled("s2dmax", True)
+                and z.shape[1] % 8 == 0):
+            return _maxpool_s2d_pallas(z, co)
         rows = ((1, 1), (0, 0), (0, 1))
         out = None
         for dr, a in rows:
