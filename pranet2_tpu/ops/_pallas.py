@@ -32,8 +32,26 @@ def interpret_mode() -> bool:
 
 
 def component_enabled(name: str, dtype_ok: bool) -> bool:
-    """Auto-enable decision for one fused component (``mlp``, ``attn``,
-    ``s2d``, ``res2block``).
+    """Auto-enable decision for one fused/restructured component.
+
+    Component names (each has an interpreter-mode body test in
+    tests/test_pallas_interpret.py where it is a Pallas kernel, plus a
+    BENCH_TABLE row):
+
+    ``mlp``        fused PVT MLP kernel (ops/pvt_mlp.py)
+    ``attn``       fused SRA attention kernel (ops/pvt_attn.py)
+    ``s2d``        space-to-depth Res2Net stem restructure (ops/stem.py)
+    ``s2dmax``     Pallas one-pass maxpool on the s2d stem's packed grid
+                   (ops/stem._maxpool_s2d_pallas; callers pass
+                   dtype_ok=True because the kernel is dtype-generic —
+                   it maxes in f32 and casts back to the input dtype, and
+                   the surrounding s2d stem is already gated on the fast
+                   path by the ``s2d`` component)
+    ``pes2d``      space-to-depth PVT stage-1 patch embed (ops/patch_embed)
+    ``gstage``     block-diagonal batched stage-block split convs (res2net)
+    ``res2block``  whole-Bottle2neck kernel (opt-in, measured negative)
+    ``l1pack``     packed layer-1 (opt-in, measured negative)
+    ``blockfuse``  whole-transformer-half kernels (opt-in, measured negative)
 
     Read at trace time.  Default: on exactly when the model computes in
     bfloat16 (the fast path) and ``PRANET2_NO_FUSED`` is unset.

@@ -110,14 +110,13 @@ def _maxpool_kernel(zp_ref, zc_ref, o_ref, *, co: int):
     quad channel-slices and re-reads the (N, H/4, W/4, 4*co) conv3 output
     across two fusions — 0.48 ms/iter at 352^2 bs16 (round-4b profile:
     fusion.1368 + fusion.16).  Here each grid step reads its row-tile once
-    (plus a one-row halo from the previous tile) and takes the 9 maxes in
-    VMEM."""
+    plus a one-row halo block (the last row of the previous tile) and
+    takes the 9 maxes in VMEM."""
     i = pl.program_id(1)
     zc = zc_ref[0]                                    # (ht, W, 4*co)
     ht, w = zc.shape[0], zc.shape[1]
     neg = jnp.float32(-jnp.inf)
-    top = jnp.where(i == 0, jnp.full_like(zc[:1], -jnp.inf),
-                    zp_ref[0, ht - 1:ht])
+    top = jnp.where(i == 0, jnp.full_like(zc[:1], -jnp.inf), zp_ref[0])
     # f32 in VMEM: Mosaic's sublane rotate is 32-bit (same move as
     # pvt_mlp's rolls); the maxpool's VPU work is trivial either way
     zh = jnp.concatenate([top, zc], axis=0).astype(jnp.float32)
@@ -147,8 +146,12 @@ def _maxpool_s2d_pallas(z, co: int):
         functools.partial(_maxpool_kernel, co=co),
         grid=(n, hq // ht),
         in_specs=[
-            pl.BlockSpec((1, ht, wq, c4),
-                         lambda i, j: (i, jnp.maximum(j - 1, 0), 0, 0)),
+            # one-row halo: only the previous tile's LAST row (row ht*j-1,
+            # clamped at the top edge where the kernel masks it to -inf) —
+            # not a whole extra (ht, wq, c4) block, so each input row is
+            # read from HBM ~once, not twice (ADVICE r4)
+            pl.BlockSpec((1, 1, wq, c4),
+                         lambda i, j: (i, jnp.maximum(ht * j - 1, 0), 0, 0)),
             pl.BlockSpec((1, ht, wq, c4), lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, ht, wq, co), lambda i, j: (i, j, 0, 0)),

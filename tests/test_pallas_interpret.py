@@ -191,6 +191,42 @@ def test_sra_block_grad_routes_through_reference(rng):
     assert _rel_err(gx, rx) < 1e-4 and _rel_err(gw, rw) < 1e-4
 
 
+# ------------------------------------------------------------ stem s2dmax
+
+
+def _s2dmax_reference(z, co):
+    """XLA shifted-slice composition of the packed-grid maxpool (the
+    fallback branch of ops/stem.s2d_stem)."""
+    from pranet2_tpu.ops import stem
+
+    rows = ((1, 1), (0, 0), (0, 1))
+    out = None
+    for dr, a in rows:
+        for dc, b in rows:
+            q = (a * 2 + b) * co
+            term = stem._shifted(z[..., q:q + co], dr, dc)
+            out = term if out is None else jnp.maximum(out, term)
+    return out
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_s2dmax_kernel_interpret(rng, dtype):
+    """One-pass packed-grid maxpool kernel == the 9-shifted-slice max.
+
+    hq=16 forces two row-tiles so the one-row top halo (and its -inf mask
+    at the grid edge) is exercised; max is order-preserving so the kernel's
+    f32 compute + cast back is bit-exact at either dtype."""
+    from pranet2_tpu.ops import stem
+
+    co = 8
+    z = jnp.asarray(rng.standard_normal((2, 16, 8, 4 * co)), dtype)
+    got = stem._maxpool_s2d_pallas(z, co)
+    want = _s2dmax_reference(z, co)
+    assert got.dtype == z.dtype
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
 # -------------------------------------------------------------- res2_block
 
 

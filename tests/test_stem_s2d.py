@@ -74,6 +74,31 @@ def test_fused_bottle2neck_fallback_parity():
         assert np.abs(a - b).max() / scale < 0.06
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a TPU backend")
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_s2dmax_kernel_matches_reference_tpu(dtype):
+    """Compiled s2dmax maxpool kernel == the XLA 9-shifted-slice max,
+    bit-exact (max is order-preserving; the kernel computes in f32 and
+    casts back).  Shape = the production PraNet-V2 352^2 grid."""
+    from pranet2_tpu.ops import stem
+
+    rng = np.random.default_rng(3)
+    co = 64
+    z = jnp.asarray(rng.standard_normal((2, 88, 88, 4 * co), np.float32),
+                    dtype)
+    got = jax.jit(lambda v: stem._maxpool_s2d_pallas(v, co))(z)
+    rows = ((1, 1), (0, 0), (0, 1))
+    want = None
+    for dr, a in rows:
+        for dc, b in rows:
+            term = stem._shifted(z[..., (a * 2 + b) * co:][..., :co], dr, dc)
+            want = term if want is None else jnp.maximum(want, term)
+    want = jax.jit(lambda v: v)(want)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
 def test_s2d_train_path_unchanged():
     # train=True must take the module path (batch stats of the unpacked
     # intermediates) regardless of the s2d flag
