@@ -85,6 +85,65 @@ def test_sharded_step_equals_single_device(small_model_and_batch):
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
 
 
+def _merit_loss_and_grads(model, variables, images, labels, device_or_sharding):
+    from pranet2_tpu.losses import mutation_loss
+
+    params = jax.device_put(variables["params"], device_or_sharding[0])
+    rest = {k: jax.device_put(v, device_or_sharding[0])
+            for k, v in variables.items() if k != "params"}
+    images = jax.device_put(jnp.asarray(images), device_or_sharding[1])
+    labels = jax.device_put(jnp.asarray(labels), device_or_sharding[1])
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p, **rest}, images, True,
+            mutable=list(rest.keys()),
+            rngs={"dropout": jax.random.key(7)},
+        )
+        o = out[0] if isinstance(out, tuple) else out
+        return mutation_loss(o[:4], labels, 4, o[4:])
+
+    return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+
+def test_sharded_merit_train_step_equals_single_device():
+    """8-device DP MERIT (attention family) step == single-device step.
+
+    The attention-family analogue of the SyncBN equivalence above
+    (reference bar: binary_seg/lib/nn/modules/tests/test_sync_batchnorm.py:
+    79-107): MaxViT window/grid attention, LayerNorm, dropout/drop-path
+    RNGs and the MUTATION powerset loss must produce the same loss and
+    gradients whether the global batch lives on one device or is split
+    across the mesh (dropout masks are keyed on the global batch shape, so
+    GSPMD generates identical masks under either sharding)."""
+    from pranet2_tpu.models import get_model
+
+    rng = np.random.default_rng(1)
+    asize = 64  # MaxViT floor: window/grid size = img//32
+    model = get_model("merit_cascaded", num_classes=4, dual=True,
+                      model_scale="dryrun",
+                      img_size_s1=(asize, asize),
+                      img_size_s2=(asize // 2, asize // 2))
+    images = rng.standard_normal((8, 32, 32, 1), dtype=np.float32)
+    labels = rng.integers(0, 4, (8, 32, 32))
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.key(3), jnp.zeros((2, 32, 32, 1)), True)
+
+    d0 = jax.devices()[0]
+    loss_ref, grads_ref = _merit_loss_and_grads(
+        model, variables, images, labels, (d0, d0))
+
+    mesh = make_mesh()
+    loss_dp, grads_dp = _merit_loss_and_grads(
+        model, variables, images, labels,
+        (replicated_sharding(mesh), batch_sharding(mesh)))
+
+    assert abs(float(loss_ref) - float(loss_dp)) < 1e-4
+    for a, b in zip(jax.tree.leaves(grads_ref), jax.tree.leaves(grads_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_batch_sharding_layout():
     mesh = make_mesh()
     x = jax.device_put(np.zeros((8, 4, 4, 3), np.float32),
