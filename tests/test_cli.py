@@ -131,6 +131,23 @@ def test_reproduce_baseline_mini_dataset(tmp_path, capsys, monkeypatch):
     # the automatic parity verdict ran and passed at the wide tolerance
     assert "parity verdict: PASS" in out, out
 
+    # FAIL branch end-to-end (VERDICT r4 #8): an unmeetable expectation at
+    # a tight tolerance must print FAIL and exit nonzero — the behavior the
+    # one-command parity claim rests on the day real data appears
+    expect.write_text('{"pranet_v2": {"CVC-300": 99.9}}')
+    monkeypatch.setattr(sys, "argv", [
+        "reproduce_baseline", "--data_root", str(data),
+        "--ckpt_dir", str(ckpts), "--models", "pranet_v2",
+        "--datasets", "CVC-300", "--testsize", "64", "--batchsize", "2",
+        "--save_root", str(tmp_path / "results"), "--precision", "default",
+        "--expect_json", str(expect), "--tol_pp", "0.1",
+    ])
+    with pytest.raises(SystemExit) as ei:
+        rb.main()
+    assert ei.value.code == 1
+    out = capsys.readouterr().out
+    assert "parity verdict: FAIL" in out, out
+
 
 def test_reproduce_baseline_verdict_rows():
     """--expect verdict logic: PASS/FAIL at the tolerance, n/a when no
