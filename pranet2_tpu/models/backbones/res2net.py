@@ -209,7 +209,9 @@ class Bottle2neck(nn.Module):
                     parts.append(avg_pool(spx[-1], 3, self.stride, 1))
             out = jnp.concatenate(parts, axis=-1)
 
-        out = bn("bn3")(conv(self.planes * expansion, 1, 1, "conv3")(out))
+        cout = self.planes * expansion
+        tailfuse = (not train
+                    and component_enabled("tailfuse", dt == jnp.bfloat16))
 
         if self.has_downsample:
             # v1b: avgpool(stride, ceil, count_include_pad=False) -> 1x1 -> BN
@@ -217,10 +219,26 @@ class Bottle2neck(nn.Module):
             if self.stride != 1:
                 short = avg_pool(short, self.stride, self.stride, 0,
                                  count_include_pad=False, ceil_mode=True)
-            short = conv(self.planes * expansion, 1, 1, "downsample_1")(short)
+            short = conv(cout, 1, 1, "downsample_1")(short)
             short = bn("downsample_2")(short)
         else:
             short = x
+
+        if tailfuse:
+            # conv3 (1x1) + folded BN3 + residual + ReLU in one Pallas pass
+            # (ops/res2_tail.py): the XLA composition writes conv3's output
+            # to HBM and re-reads it (plus the shortcut) in a separate
+            # elementwise fusion — the round-4 profile's ~1.3 ms residue.
+            # Same param tree via holders; eval-only (folded BN).
+            from pranet2_tpu.ops.res2_block import fold_bn
+            from pranet2_tpu.ops.res2_tail import fused_tail
+
+            k3 = _ConvParams(cout, 1, name="conv3")(out.shape[-1])
+            s3, t3 = fold_bn(*_BNParams(name="bn3")(cout))
+            return fused_tail(out, short,
+                              k3.reshape(out.shape[-1], cout), s3, t3)
+
+        out = bn("bn3")(conv(cout, 1, 1, "conv3")(out))
         return nn.relu(out + short)
 
 

@@ -48,6 +48,9 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
                    the surrounding s2d stem is already gated on the fast
                    path by the ``s2d`` component)
     ``pes2d``      space-to-depth PVT stage-1 patch embed (ops/patch_embed)
+    ``tailfuse``   Bottle2neck conv3+BN3+residual+ReLU tail kernel
+                   (ops/res2_tail.py; eval-only, folded BN; opt-in —
+                   measured negative, see below)
     ``gstage``     block-diagonal batched stage-block split convs (res2net)
     ``res2block``  whole-Bottle2neck kernel (opt-in, measured negative)
     ``l1pack``     packed layer-1 (opt-in, measured negative)
@@ -82,4 +85,9 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     # the f32/v1 defaults below stand.
     # pes2d (space-to-depth stage-1 patch embed) measured a default win:
     # PVT-PraNet-V2 bs16 1,323.9 -> 1,345.7 img/s, full-model parity OK.
-    return name not in ("res2block", "l1pack", "blockfuse")
+    # tailfuse: round-5 measured negative — PraNet-V2 bs16 1,780.5 ->
+    # 1,556.8 img/s (tools/exp_r5.py conv, same session).  XLA already
+    # producer-fuses the 1x1 conv3 with the BN/residual/ReLU epilogue, so
+    # the Pallas junction only added grid overhead and smaller matmuls.
+    # The kernel stays (parity-tested) for re-checks on other topologies.
+    return name not in ("res2block", "l1pack", "blockfuse", "tailfuse")

@@ -59,6 +59,20 @@ def _taps_lowp() -> bool:
     return os.environ.get("PVT_MLP_TAPS", "f32") == "lowp"
 
 
+def _fc1_per_tap() -> bool:
+    """fc1 strategy knob (trace time).  Default computes fc1 ONCE and
+    builds the three W-tap copies by sublane-rolling the hidden tensor
+    (shift-then-matmul == matmul-then-shift, so the taps are bit-identical
+    either way).  The per-tap form runs fc1 three times — at stage 1 that
+    is 3x16.3 GF of (lane-padded) MXU per block, and the round-5 profile
+    showed the MLP kernels MXU-bound (stage-1 block 0.77 ms vs a 0.16 ms
+    traffic bound).  PVT_MLP_FC1=per_tap opts back into the old form for
+    A/B re-checks (it trades 2 wide hidden rolls for 2 extra matmuls —
+    the right call only if sublane rolls outprice the MXU, which they
+    don't at these shapes on v5e: see BENCH_TABLE round-5)."""
+    return os.environ.get("PVT_MLP_FC1", "once") == "per_tap"
+
+
 def _gelu_lowp() -> bool:
     """GELU lane-width knob (trace time).  PVT_MLP_GELU=bf16 computes the
     erf polynomial on packed bf16 lanes while tap accumulation stays at
@@ -109,8 +123,11 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     nh = pl.num_programs(1)
     xc = xc_ref[0]                                   # (h_t, W, D)
     ht, w, d = xc.shape
-    top = jnp.where(i == 0, jnp.zeros_like(xc[:1]), xp_ref[0, ht - 1:ht])
-    bot = jnp.where(i == nh - 1, jnp.zeros_like(xc[:1]), xn_ref[0, 0:1])
+    # xp/xn are single-row halo blocks (the previous tile's last row / the
+    # next tile's first row), not full tiles: each grid step reads its own
+    # rows once plus two rows, so x is read ~1x from HBM, not 3x.
+    top = jnp.where(i == 0, jnp.zeros_like(xc[:1]), xp_ref[0])
+    bot = jnp.where(i == nh - 1, jnp.zeros_like(xc[:1]), xn_ref[0])
     xh = jnp.concatenate([top, xc, bot], axis=0)      # (h_t+2, W, D)
 
     # LayerNorm over channels, f32 stats (flax fast-variance form)
@@ -150,18 +167,34 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     tdt = xc.dtype if _taps_lowp() else jnp.float32
     acc = jnp.zeros((ht, w, c), tdt)
     dwk_t = dwk.astype(tdt)
+    per_tap = _fc1_per_tap()
+    if not per_tap:
+        # fc1 ONCE; W-tap copies are sublane rolls of the hidden (matmul
+        # is per-row, so roll-then-fc1 == fc1-then-roll bit-for-bit, and
+        # the destination-row masks below are unchanged)
+        z_all = jnp.dot(yb, w1, preferred_element_type=jnp.float32) + b1
     for dj in range(3):
         if dj == 0:   # left tap: z[h, w-1] = fc1(y rolled down one row)
-            ys = pltpu.roll(y2, 1, axis=0).astype(xc.dtype)
             invalid = border | (wpos == 0)
+            if per_tap:
+                ys = pltpu.roll(y2, 1, axis=0).astype(xc.dtype)
+            else:
+                zs = pltpu.roll(z_all, 1, axis=0)
         elif dj == 2:  # right tap
-            ys = pltpu.roll(y2, r - 1, axis=0).astype(xc.dtype)
             invalid = border | (wpos == w - 1)
+            if per_tap:
+                ys = pltpu.roll(y2, r - 1, axis=0).astype(xc.dtype)
+            else:
+                zs = pltpu.roll(z_all, r - 1, axis=0)
         else:
-            ys = yb
             invalid = border
-        z = jnp.dot(ys, w1, preferred_element_type=jnp.float32) + b1
-        z = jnp.where(invalid, 0.0, z).reshape(ht + 2, w, c)
+            if per_tap:
+                ys = yb
+            else:
+                zs = z_all
+        if per_tap:
+            zs = jnp.dot(ys, w1, preferred_element_type=jnp.float32) + b1
+        z = jnp.where(invalid, 0.0, zs).reshape(ht + 2, w, c)
         for di in range(3):
             # convert per H-slice: no second full-size hidden copy in VMEM
             acc = acc + z[di:di + ht].astype(tdt) * dwk_t[di, dj]
@@ -265,14 +298,23 @@ def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
         return out
     dt = x.dtype
     grid = (n, h // ht)
-    xspec = lambda im: pl.BlockSpec((1, ht, w, d), im,
-                                    memory_space=pltpu.VMEM)
     wspec = lambda shape: pl.BlockSpec(
         shape, lambda ni, hi: (0,) * len(shape), memory_space=pltpu.VMEM)
+    # single-row halo blocks: previous tile's LAST row / next tile's FIRST
+    # row (row-index units because the block is one row tall), clamped at
+    # the edges where the kernel masks them to zero.  A full-tile halo
+    # spec read x ~3x from HBM per block (VERDICT r4 / ADVICE r4 pattern,
+    # same fix as stem._maxpool_s2d_pallas).
     in_specs = [
-        xspec(lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
-        xspec(lambda ni, hi: (ni, hi, 0, 0)),
-        xspec(lambda ni, hi: (ni, jnp.minimum(hi + 1, h // ht - 1), 0, 0)),
+        pl.BlockSpec((1, 1, w, d),
+                     lambda ni, hi: (ni, jnp.maximum(hi * ht - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, w, d), lambda ni, hi: (ni, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w, d),
+                     lambda ni, hi: (ni, jnp.minimum(hi * ht + ht, h - 1),
+                                     0, 0),
+                     memory_space=pltpu.VMEM),
         wspec((d,)), wspec((d,)),
         wspec((d, c)), wspec((c,)),
         wspec((3, 3, c)), wspec((c,)),

@@ -305,3 +305,42 @@ def test_pvt_block_grad_routes_through_reference(rng):
             x, *a[1:15], w1, *a[16:], sr=2, nh=2) ** 2),
         argnums=(0, 1))(a[0], a[15])
     assert _rel_err(gx, rx) < 2e-2 and _rel_err(gw, rw) < 2e-2
+
+
+# -------------------------------------------------------------- res2_tail
+
+
+@pytest.mark.parametrize("ht,dtype", [(None, jnp.float32), (2, jnp.bfloat16)])
+def test_res2_tail_kernel_interpret(rng, ht, dtype, monkeypatch):
+    from pranet2_tpu.ops import res2_tail
+
+    if ht is not None:  # force the row-tiled grid on a small image
+        monkeypatch.setattr(res2_tail, "_pick_ht", lambda *a: ht)
+    cin, cout = 24, 32
+    mk = lambda s, sc=0.2: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    # w must be a sublane multiple or the kernel gates itself off (the
+    # Mosaic reshape constraint _impl documents)
+    cc = jnp.asarray(rng.standard_normal((2, 6, 8, cin)), dtype)
+    short = jnp.asarray(rng.standard_normal((2, 6, 8, cout)), dtype)
+    args = (cc, short, mk((cin, cout)), mk((cout,)) + 1.0, mk((cout,)))
+    got = res2_tail.fused_tail(*args)
+    want = res2_tail.reference_tail(*args)
+    assert _rel_err(got, want) < (2e-6 if dtype == jnp.float32 else 0.02)
+
+
+def test_res2_tail_grad_routes_through_reference(rng):
+    from pranet2_tpu.ops import res2_tail
+
+    cin, cout = 16, 8
+    mk = lambda s, sc=0.2: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    cc = jnp.asarray(rng.standard_normal((1, 4, 4, cin)), jnp.float32)
+    short = jnp.asarray(rng.standard_normal((1, 4, 4, cout)), jnp.float32)
+    args = (cc, short, mk((cin, cout)), mk((cout,)) + 1.0, mk((cout,)))
+    g_f = jax.grad(lambda *a: res2_tail.fused_tail(*a).sum(), argnums=(0, 2))(
+        *args)
+    g_r = jax.grad(lambda *a: res2_tail.reference_tail(*a).sum(),
+                   argnums=(0, 2))(*args)
+    for a, b in zip(g_f, g_r):
+        assert _rel_err(a, b) < 2e-5

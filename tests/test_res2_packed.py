@@ -218,3 +218,60 @@ def test_l1pack_full_model_bf16_tpu(rng, monkeypatch):
     for a, b in zip(fast, plain):
         scale = max(np.abs(b).max(), 1.0)
         assert np.abs(a - b).max() / scale < 0.08
+
+
+def test_tailfuse_matches_module_path(monkeypatch):
+    """conv3+BN3+residual+ReLU fused tail (the 'tailfuse' component) vs the
+    plain module chain, bf16 (CPU exercises the wiring + fallback; the
+    kernel body is pinned by tests/test_pallas_interpret.py)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), np.float32))
+    m = Res2Net(layers=(2, 2, 1, 1), dtype=jnp.bfloat16)
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    v = m.init(jax.random.key(0), x)
+    outs_a = m.apply(v, x)
+    monkeypatch.delenv("PRANET2_NO_FUSED")
+    monkeypatch.setenv("PRANET2_FUSED", "tailfuse")
+    outs_b = Res2Net(layers=(2, 2, 1, 1), dtype=jnp.bfloat16).apply(v, x)
+    for a, b in zip(outs_a, outs_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+
+
+def test_tailfuse_param_tree_invariant(monkeypatch):
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    v0 = Res2Net(layers=(1, 1, 1, 1), dtype=jnp.bfloat16).init(
+        jax.random.key(0), x)
+    monkeypatch.delenv("PRANET2_NO_FUSED")
+    monkeypatch.setenv("PRANET2_FUSED", "tailfuse")
+    v1 = Res2Net(layers=(1, 1, 1, 1), dtype=jnp.bfloat16).init(
+        jax.random.key(0), x)
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert a.shape == b.shape
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas TPU kernel needs a TPU backend")
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_res2_tail_kernel_matches_reference_tpu(dtype):
+    """Compiled fused_tail kernel == the XLA composition at a production
+    layer-1 shape (88^2, 104 -> 256 ch)."""
+    from pranet2_tpu.ops import res2_tail
+
+    rng = np.random.default_rng(7)
+    cin, cout = 104, 256
+    mk = lambda s, sc=0.2: jnp.asarray(rng.standard_normal(s) * sc,
+                                       np.float32)
+    cc = jnp.asarray(rng.standard_normal((2, 88, 88, cin)), dtype)
+    short = jnp.asarray(rng.standard_normal((2, 88, 88, cout)), dtype)
+    args = (cc, short, jnp.asarray(mk((cin, cout))),
+            jnp.asarray(mk((cout,)) + 1.0), jnp.asarray(mk((cout,))))
+    got = jax.jit(res2_tail.fused_tail)(*args)
+    want = jax.jit(res2_tail.reference_tail)(*args)
+    a = np.asarray(got, np.float32)
+    b = np.asarray(want, np.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 0.02
+    assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-6) < tol
