@@ -194,12 +194,27 @@ class Bottle2neck(nn.Module):
             out = jnp.concatenate(
                 [y, avg_pool(spx[-1], 3, self.stride, 1)], axis=-1)
         else:
+            # narrow split convs as row-major dot-form taps (ops/splitconv):
+            # XLA's batch-in-sublanes conv emitter is ~7.5x off roofline at
+            # these widths AND flips the surrounding stream into a
+            # batch-minor layout world (~1.4 ms/iter of relayout fusions at
+            # bs16, round-5 profile).  Exact restructure; stride-1 only.
+            splitmm = (self.stride == 1 and width <= 52
+                       and component_enabled("splitmm", dt == jnp.bfloat16))
             parts = []
             sp = None
             for i in range(nums):
                 sp = (spx[i] if (i == 0 or self.stype == "stage")
                       else sp + spx[i])
-                sp = conv(width, 3, self.stride, f"convs_{i}", pad=1)(sp)
+                if splitmm:
+                    from pranet2_tpu.ops.splitconv import conv3x3_dot
+
+                    kd = _ConvParams(width, 3, name=f"convs_{i}")(
+                        sp.shape[-1])
+                    sp = conv3x3_dot(sp.astype(dt or sp.dtype),
+                                     kd.astype(dt or kd.dtype))
+                else:
+                    sp = conv(width, 3, self.stride, f"convs_{i}", pad=1)(sp)
                 sp = nn.relu(bn(f"bns_{i}")(sp))
                 parts.append(sp)
             if self.scale != 1:

@@ -116,6 +116,18 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class _ConvKernelParams(nn.Module):
+    """Declares a flax-Conv-shaped kernel param without computing (the
+    holder pattern — same tree path/shape as ``nn.Conv(name=...)``)."""
+
+    shape: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
 class ConvBN(nn.Module):
     """conv(bias=False) + BN, **no** activation in the call (torch ``BasicConv2d``).
 
@@ -134,17 +146,41 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         kh, kw = _pair(self.kernel_size)
         ph, pw = _pair(self.padding)
-        x = nn.Conv(
-            self.features,
-            (kh, kw),
-            strides=(self.stride, self.stride),
-            padding=((ph, ph), (pw, pw)),
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        from pranet2_tpu.ops._pallas import component_enabled
+
+        # Narrow decoder convs (RFB 32-ch branches, DSRA 64-ch chains) as
+        # row-major dot-form taps (ops/splitconv.conv_dot): XLA's
+        # batch-in-sublanes conv emitter is far off roofline at these
+        # widths and flips the decoder stream into a batch-minor layout
+        # world.  Exact restructure; SAME-size stride-1 only; same param
+        # tree (flax Conv's kernel at the same path).
+        dot_ok = (self.stride == 1 and max(kh, kw) > 1
+                  and self.features <= 64
+                  and 2 * ph == self.dilation * (kh - 1)
+                  and 2 * pw == self.dilation * (kw - 1)
+                  and component_enabled("decdot",
+                                        self.dtype == jnp.bfloat16))
+        if dot_ok:
+            from pranet2_tpu.ops.splitconv import conv_dot
+
+            # same tree path as the flax Conv: <this>/conv/kernel
+            k = _ConvKernelParams((kh, kw, x.shape[-1], self.features),
+                                  name="conv")()
+            dt = self.dtype or x.dtype
+            x = conv_dot(x.astype(dt), k.astype(dt), (ph, pw),
+                         self.dilation)
+        else:
+            x = nn.Conv(
+                self.features,
+                (kh, kw),
+                strides=(self.stride, self.stride),
+                padding=((ph, ph), (pw, pw)),
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,

@@ -52,6 +52,10 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
                    (ops/res2_tail.py; eval-only, folded BN; opt-in —
                    measured negative, see below)
     ``gstage``     block-diagonal batched stage-block split convs (res2net)
+    ``splitmm``    row-major dot-form 3x3 split convs in normal blocks
+                   (ops/splitconv.py; pure XLA, exact restructure)
+    ``decdot``     row-major dot-form narrow decoder convs (RFB/DSRA
+                   ConvBN <=64 ch; ops/splitconv.conv_dot)
     ``res2block``  whole-Bottle2neck kernel (opt-in, measured negative)
     ``l1pack``     packed layer-1 (opt-in, measured negative)
     ``blockfuse``  whole-transformer-half kernels (opt-in, measured negative)
@@ -90,4 +94,17 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
     # producer-fuses the 1x1 conv3 with the BN/residual/ReLU epilogue, so
     # the Pallas junction only added grid overhead and smaller matmuls.
     # The kernel stays (parity-tested) for re-checks on other topologies.
-    return name not in ("res2block", "l1pack", "blockfuse", "tailfuse")
+    # splitmm: round-5 measured negative — PraNet-V2 bs16 1,772.4 ->
+    # 1,599.9 img/s (tools/exp_r5.py splitmm).  The per-op profile showed
+    # the 26-ch split convs ~7.5x off roofline in the batch-in-sublanes
+    # emitter plus ~1.4 ms of batch-minor relayout fusions, but replacing
+    # them with row-major tap matmuls made the WHOLE model slower: XLA's
+    # global layout assignment around the narrow convs beats the per-op
+    # arithmetic.  (Same lesson as tailfuse: end-to-end measurement only.)
+    # decdot: round-5 measured negative on BOTH models — PraNet-V2 bs16
+    # 1,772.4 -> 1,642.0, PVT-PraNet-V2 bs16 1,396.7 -> 1,313.1
+    # (tools/exp_r5.py decdot).  Same story at the decoder's 32/64-ch
+    # convs as splitmm at the split convs.  Three strikes for the
+    # "row-major dot-form beats the narrow-conv emitter" hypothesis.
+    return name not in ("res2block", "l1pack", "blockfuse", "tailfuse",
+                        "splitmm", "decdot")

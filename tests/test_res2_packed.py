@@ -275,3 +275,85 @@ def test_res2_tail_kernel_matches_reference_tpu(dtype):
     b = np.asarray(want, np.float32)
     tol = 1e-5 if dtype == jnp.float32 else 0.02
     assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-6) < tol
+
+
+def test_conv3x3_dot_exact():
+    """Dot-form 3x3 conv == lax conv (f32, HIGHEST precision on both)."""
+    from jax import lax
+
+    from pranet2_tpu.ops.splitconv import conv3x3_dot
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, 6)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 6, 5)) * 0.2, jnp.float32)
+    got = conv3x3_dot(x, k)
+    want = lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_splitmm_matches_module_path(monkeypatch):
+    """Normal blocks' split convs in dot form (the 'splitmm' component) vs
+    the plain module chain, bf16 — wiring + param-tree invariance."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), np.float32))
+    m = Res2Net(layers=(2, 2, 1, 1), dtype=jnp.bfloat16)
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    v = m.init(jax.random.key(0), x)
+    outs_a = m.apply(v, x)
+    monkeypatch.delenv("PRANET2_NO_FUSED")
+    monkeypatch.setenv("PRANET2_FUSED", "splitmm")
+    m2 = Res2Net(layers=(2, 2, 1, 1), dtype=jnp.bfloat16)
+    v2 = m2.init(jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    outs_b = m2.apply(v, x)
+    for a, b in zip(outs_a, outs_b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+
+
+@pytest.mark.parametrize("shape,pad,dil", [
+    ((3, 3), (1, 1), 1), ((1, 3), (0, 1), 1), ((3, 1), (1, 0), 1),
+    ((3, 3), (3, 3), 3), ((3, 3), (5, 5), 5), ((1, 7), (0, 3), 1),
+])
+def test_conv_dot_exact_shapes(shape, pad, dil):
+    """conv_dot == lax conv for every decoder kernel geometry."""
+    from jax import lax
+
+    from pranet2_tpu.ops.splitconv import conv_dot
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 13, 11, 6)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal(shape + (6, 5)) * 0.2, jnp.float32)
+    got = conv_dot(x, k, pad, dil)
+    want = lax.conv_general_dilated(
+        x, k, (1, 1), ((pad[0], pad[0]), (pad[1], pad[1])),
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decdot_convbn_param_tree_and_parity(monkeypatch):
+    """ConvBN's dot-form path (the 'decdot' component): same param tree
+    and bf16-tolerance outputs vs the module conv."""
+    from pranet2_tpu.nn import ConvBN
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32), np.float32))
+    m = ConvBN(32, 3, padding=3, dilation=3, dtype=jnp.bfloat16)
+    monkeypatch.setenv("PRANET2_NO_FUSED", "1")
+    v = m.init(jax.random.key(0), x)
+    a = m.apply(v, x)
+    monkeypatch.delenv("PRANET2_NO_FUSED")
+    monkeypatch.setenv("PRANET2_FUSED", "decdot")
+    v2 = ConvBN(32, 3, padding=3, dilation=3, dtype=jnp.bfloat16).init(
+        jax.random.key(0), x)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    b = ConvBN(32, 3, padding=3, dilation=3, dtype=jnp.bfloat16).apply(v, x)
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.03

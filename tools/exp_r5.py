@@ -67,7 +67,7 @@ def main():
             ("fc1=per_tap (round-4)", "pvt_pranet_v2",
              {"PVT_MLP_FC1": "per_tap"}),
         ]
-    else:
+    elif which == "conv":
         base = "mlp,attn,s2d,s2dmax,pes2d,gstage"
         cases = [
             ("tailfuse ON (new default)", "pranet_v2",
@@ -75,6 +75,20 @@ def main():
             ("tailfuse OFF (round-4)", "pranet_v2",
              {"PRANET2_FUSED": base}),
         ]
+    elif which == "splitmm":
+        base = "mlp,attn,s2d,s2dmax,pes2d,gstage"
+        cases = [
+            ("splitmm ON", "pranet_v2", {"PRANET2_FUSED": base + ",splitmm"}),
+            ("splitmm OFF (round-4)", "pranet_v2", {"PRANET2_FUSED": base}),
+        ]
+    elif which == "decdot":
+        base = "mlp,attn,s2d,s2dmax,pes2d,gstage"
+        cases = [
+            ("decdot ON", "pranet_v2", {"PRANET2_FUSED": base + ",decdot"}),
+            ("decdot ON", "pvt_pranet_v2", {"PRANET2_FUSED": base + ",decdot"}),
+        ]
+    else:
+        raise SystemExit(f"unknown mode {which}")
     print(f"device: {jax.devices()[0].device_kind}")
     for tag, name, env in cases:
         for k, v in env.items():
