@@ -408,20 +408,34 @@ class PVTv2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        import os
+
         from pranet2_tpu.ops._pallas import component_enabled
 
+        deterministic = not train
+        # Training defaults to the plain-XLA module chain: fused-vs-unfused
+        # bf16 train steps measured equal within noise (BENCH_TABLE train
+        # table), and the round-5 residual-saving VJP prototype measured a
+        # negative (110.4 vs 108.4 ms/step despite 7.5% fewer bytes) — the
+        # kernels' saved traffic does not buy train time on this chip, so
+        # training is XLA-only unless the caller opts in (explicit
+        # fused_mlp/fused_attn args, or an explicit PRANET2_FUSED env —
+        # which the train-parity TPU test uses).
+        auto_train_ok = deterministic or os.environ.get(
+            "PRANET2_FUSED") is not None
         fused = self.fused_mlp
         if fused is None:
-            fused = component_enabled("mlp", dt == jnp.bfloat16)
+            fused = (component_enabled("mlp", dt == jnp.bfloat16)
+                     and auto_train_ok)
         fused = (fused,) * 4 if isinstance(fused, bool) else tuple(fused)
         fattn = self.fused_attn
         if fattn is None:
-            fattn = component_enabled("attn", dt == jnp.bfloat16)
+            fattn = (component_enabled("attn", dt == jnp.bfloat16)
+                     and auto_train_ok)
         fattn = (fattn,) * 4 if isinstance(fattn, bool) else tuple(fattn)
         fblock = self.fused_block
         if fblock is None:
             fblock = component_enabled("blockfuse", dt == jnp.bfloat16)
-        deterministic = not train
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         cur = 0

@@ -344,3 +344,16 @@ def test_res2_tail_grad_routes_through_reference(rng):
                    argnums=(0, 2))(*args)
     for a, b in zip(g_f, g_r):
         assert _rel_err(a, b) < 2e-5
+
+
+def test_mlp_kernel_save_acc_interpret(rng, monkeypatch):
+    """save_acc mode: the kernel's second output == the reference chain's
+    pre-GELU hidden, and the saved-VJP grads flow through it."""
+    from pranet2_tpu.ops import pvt_mlp
+
+    monkeypatch.setattr(pvt_mlp, "_pick_ht", lambda *a: 2)
+    a = _mlp_args(rng)
+    out, acc = pvt_mlp._impl(*a, 1e-6, save_acc=True)
+    ref_out, ref_acc = pvt_mlp.reference_mlp_block_with_acc(*a, eps=1e-6)
+    assert _rel_err(out, ref_out) < 3e-3
+    assert _rel_err(acc, ref_acc) < 3e-3

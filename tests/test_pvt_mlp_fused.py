@@ -330,9 +330,15 @@ def test_train_step_fused_vs_unfused_tpu(rng, monkeypatch):
 
     def grads_for(no_fused):
         if no_fused:
+            monkeypatch.delenv("PRANET2_FUSED", raising=False)
             monkeypatch.setenv("PRANET2_NO_FUSED", "1")
         else:
             monkeypatch.delenv("PRANET2_NO_FUSED", raising=False)
+            # training defaults to the XLA chain (round-5 decision);
+            # an explicit PRANET2_FUSED opts the kernels into train,
+            # which is exactly what this parity test exercises
+            monkeypatch.setenv("PRANET2_FUSED",
+                               "mlp,attn,s2d,s2dmax,pes2d,gstage")
         m = get_model("pvt_pranet_v2", num_class=1, dtype=jnp.bfloat16)
         v = jax.jit(m.init)(jax.random.key(0), x)
 
@@ -411,3 +417,29 @@ def test_pvt_block_kernel_matches_reference_tpu(rng):
             np.float32)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() <= 0.05 * max(scale / 4, 1.0), (d,)
+
+
+def test_saved_vjp_matches_recompute_vjp(monkeypatch):
+    """Residual-saving VJP (PVT_MLP_BWD=saved) == the full-recompute VJP
+    on every input/param grad (f32, CPU fallback path)."""
+    import pranet2_tpu.ops.pvt_mlp as pm
+
+    rng = np.random.default_rng(21)
+    n, h, w, d, c = 2, 6, 8, 16, 32
+    mk = lambda s, sc=0.2: jnp.asarray(rng.standard_normal(s) * sc,
+                                       jnp.float32)
+    args = (jnp.asarray(rng.standard_normal((n, h, w, d)), jnp.float32),
+            mk((d,)) + 1.0, mk((d,)), mk((d, c)), mk((c,)),
+            mk((3, 3, c)), mk((c,)), mk((c, d)), mk((d,)))
+
+    def loss(*a):
+        return (pm.fused_mlp_block(*a) ** 2).sum()
+
+    monkeypatch.setenv("PVT_MLP_BWD", "saved")
+    gs = jax.grad(loss, argnums=tuple(range(9)))(*args)
+    monkeypatch.setenv("PVT_MLP_BWD", "recompute")
+    gr = jax.grad(loss, argnums=tuple(range(9)))(*args)
+    for a, b in zip(gs, gr):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-6) < 2e-5
