@@ -233,7 +233,7 @@ class _FusedSRAttention(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, lns1, lnb1):
+    def __call__(self, x, lns1, lnb1, ln1_stats=None):
         import os
 
         b, h, w, c = x.shape
@@ -254,7 +254,17 @@ class _FusedSRAttention(nn.Module):
         wkv, bkv = _DenseParams(2 * c, name="kv")(c)
         wq_k = wq.reshape(c, nh, hd).transpose(1, 0, 2)
         bq_k = bq.reshape(nh, hd)
-        if os.environ.get("PVT_ATTN_IMPL", "v1") == "v1":
+        # Routing (trace time): 'v1' everywhere, 'v2' everywhere, or
+        # 'auto:<max_sr>' = the whole-half v2 kernel for stages with
+        # sr <= max_sr (small maps whose per-image working set is tiny and
+        # whose XLA kv path is proportionally large), v1 elsewhere.  The
+        # round-3/4 global v2-vs-v1 ablation (v2 loses, 1,293.8 vs
+        # 1,329.1) never tried per-stage routing.
+        impl = os.environ.get("PVT_ATTN_IMPL", "v1")
+        if impl.startswith("auto"):
+            max_sr = int(impl.split(":")[1]) if ":" in impl else 1
+            impl = "v2" if sr <= max_sr else "v1"
+        if impl == "v1":
             # v1 routing (default, trace-time knob): the tiny K/V path
             # (sr conv + LN + kv dense) runs in XLA; LN1, q, softmax
             # attention, proj and the residual go through the v1 kernel.
@@ -267,9 +277,16 @@ class _FusedSRAttention(nn.Module):
 
             dt = self.dtype
             xf = x.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
-            y = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * lns1 + lnb1
+            if ln1_stats is None:
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+                rstd = jax.lax.rsqrt(var + 1e-6)
+            else:
+                # per-token stats emitted by the previous block's fused
+                # MLP kernel (bit-identical to recomputing them from x):
+                # this LN becomes a pure elementwise fusion, no reduce
+                mu, rstd = ln1_stats[0][..., None], ln1_stats[1][..., None]
+            y = (xf - mu) * rstd * lns1 + lnb1
             y = y.astype(x.dtype)
             if sr > 1:
                 kv_in = jax.lax.conv_general_dilated(
@@ -312,7 +329,12 @@ class _Block(nn.Module):
     fused_block: bool = False  # whole-block kernel (ops/pvt_block.py)
 
     @nn.compact
-    def __call__(self, x, deterministic=True, final_ln=None):
+    def __call__(self, x, deterministic=True, final_ln=None,
+                 ln1_stats=None, emit_stats=False):
+        """Returns ``(out, stats)`` where ``stats`` is the (mu, rstd) of
+        ``out`` when ``emit_stats`` (fused-MLP eval path) else None;
+        ``ln1_stats`` is the previous block's emission, consumed by the
+        fused attention's XLA K/V-path LN."""
         dt = self.dtype
         rng = None
         if not deterministic and self.drop_path > 0:
@@ -332,7 +354,7 @@ class _Block(nn.Module):
                 name="mlp")(self.dim)
             return fused_pvt_block(
                 x, lns1, lnb1, *ap, lns2, lnb2, w1, b1, dwk[:, :, 0, :],
-                dwb, w2, b2, self.sr_ratio, self.num_heads, 1e-6, 1e-6)
+                dwb, w2, b2, self.sr_ratio, self.num_heads, 1e-6, 1e-6), None
         if self.fused_attn:
             # fused in train too (VERDICT r3 #5): the kernel's custom VJP
             # recomputes through the XLA reference; stochastic depth is
@@ -340,7 +362,8 @@ class _Block(nn.Module):
             # rounding) so train semantics match the module chain.
             lns1, lnb1 = _LNParams(name="norm1")(self.dim)
             o = _FusedSRAttention(self.dim, self.num_heads, self.sr_ratio,
-                                  dt, name="attn")(x, lns1, lnb1)
+                                  dt, name="attn")(
+                x, lns1, lnb1, ln1_stats if rng is None else None)
             if rng is not None:
                 x = x + _drop_path(o - x, self.drop_path, deterministic,
                                    rng1)
@@ -360,7 +383,8 @@ class _Block(nn.Module):
             # final_ln=(scale, bias) is passed (last block of a stage, eval)
             # the stage-end LayerNorm runs in the kernel epilogue.
             from pranet2_tpu.ops.pvt_mlp import (fused_mlp_block,
-                                                 fused_mlp_block_final_ln)
+                                                 fused_mlp_block_final_ln,
+                                                 fused_mlp_block_stats)
 
             lns, lnb = _LNParams(name="norm2")(self.dim)
             w1, b1, dwk, dwb, w2, b2 = _MlpParams(
@@ -369,20 +393,25 @@ class _Block(nn.Module):
             if final_ln is not None and rng is None:
                 return fused_mlp_block_final_ln(
                     x, lns, lnb, w1, b1, dwk[:, :, 0, :], dwb, w2, b2,
-                    final_ln[0], final_ln[1], 1e-6, 1e-6)
+                    final_ln[0], final_ln[1], 1e-6, 1e-6), None
+            if emit_stats and rng is None:
+                o, mu, rstd = fused_mlp_block_stats(
+                    x, lns, lnb, w1, b1, dwk[:, :, 0, :], dwb, w2, b2,
+                    1e-6, 1e-6)
+                return o, (mu, rstd)
             o = fused_mlp_block(x, lns, lnb, w1, b1, dwk[:, :, 0, :],
                                 dwb, w2, b2, 1e-6)
             if rng is not None:
                 o = x + _drop_path(o - x, self.drop_path, deterministic,
                                    rng2)
-            return o
+            return o, None
         y = nn.LayerNorm(epsilon=1e-6, dtype=dt, param_dtype=jnp.float32,
                          name="norm2")(x)
         y = _Mlp(self.dim * self.mlp_ratio, self.dim, dt,
                  name="mlp")(y, deterministic)
         if rng is not None:
             y = _drop_path(y, self.drop_path, deterministic, rng2)
-        return x + y
+        return x + y, None
 
 
 class PVTv2(nn.Module):
@@ -468,17 +497,28 @@ class PVTv2(nn.Module):
             # pass over the stage tensor.  Params stay at the same tree path
             # (norm{si+1}) either way — checkpoint layout is unchanged.
             fold_ln = fused[si] and deterministic and not fblock
+            # LN-stats fold (eval): each non-last fused MLP emits the
+            # (mu, rstd) of its output; the next block's fused attention
+            # applies its XLA K/V-path LN1 without a reduce pass.
+            stats = None
             for bi in range(self.depths[si]):
                 last = bi == self.depths[si] - 1
                 fln = None
                 if fold_ln and last:
                     fln = _LNParams(name=f"norm{si + 1}")(dim)
-                x = _Block(dim, self.num_heads[si], self.mlp_ratios[si],
-                           _SR_RATIOS[si], dpr[cur + bi], dt,
-                           fused_mlp=fused[si], fused_attn=fattn[si],
-                           fused_block=fblock,
-                           name=f"block{si + 1}_{bi}")(x, deterministic,
-                                                       final_ln=fln)
+                emit = (not last and fused[si] and fattn[si]
+                        and deterministic and not fblock
+                        and component_enabled("lnstats",
+                                              dt == jnp.bfloat16))
+                x, stats = _Block(
+                    dim, self.num_heads[si], self.mlp_ratios[si],
+                    _SR_RATIOS[si], dpr[cur + bi], dt,
+                    fused_mlp=fused[si], fused_attn=fattn[si],
+                    fused_block=fblock,
+                    name=f"block{si + 1}_{bi}")(x, deterministic,
+                                                final_ln=fln,
+                                                ln1_stats=stats,
+                                                emit_stats=emit)
             cur += self.depths[si]
             if not fold_ln:
                 x = nn.LayerNorm(epsilon=1e-6, dtype=dt,

@@ -56,6 +56,9 @@ def component_enabled(name: str, dtype_ok: bool) -> bool:
                    (ops/splitconv.py; pure XLA, exact restructure)
     ``decdot``     row-major dot-form narrow decoder convs (RFB/DSRA
                    ConvBN <=64 ch; ops/splitconv.conv_dot)
+    ``lnstats``    fused MLP emits its output's per-token LN stats so
+                   the next block's XLA K/V-path LN1 skips its reduce
+                   (ops/pvt_mlp.fused_mlp_block_stats)
     ``res2block``  whole-Bottle2neck kernel (opt-in, measured negative)
     ``l1pack``     packed layer-1 (opt-in, measured negative)
     ``blockfuse``  whole-transformer-half kernels (opt-in, measured negative)

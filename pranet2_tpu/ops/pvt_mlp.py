@@ -111,13 +111,19 @@ def _gelu_erf(x):
 
 def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             dwk_ref, dwb_ref, w2_ref, b2_ref, *rest, eps: float,
-            final_eps: float | None = None, save_acc: bool = False):
-    oacc_ref = None
+            final_eps: float | None = None, save_acc: bool = False,
+            stats_eps: float | None = None):
+    oacc_ref = mu_ref = rstd_ref = None
     if final_eps is None:
         if save_acc:
             # residual-saving VJP mode: second output carries the
             # pre-GELU hidden (post-dwconv+bias) for the backward pass
             o_ref, oacc_ref = rest
+        elif stats_eps is not None:
+            # LN-stats fold: also emit the per-token (mu, rstd) of the
+            # block OUTPUT so the NEXT block's XLA LN1 skips its reduce
+            # pass (stats from the cast output == what XLA would compute)
+            o_ref, mu_ref, rstd_ref = rest
         else:
             (o_ref,) = rest
         lnsf_ref = lnbf_ref = None
@@ -221,7 +227,14 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                   preferred_element_type=jnp.float32)
     out = out + b2_ref[...].astype(jnp.float32)
     if final_eps is None:
-        o_ref[0] = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+        ob = xc + out.reshape(ht, w, d).astype(o_ref.dtype)
+        o_ref[0] = ob
+        if mu_ref is not None:
+            obf = ob.astype(jnp.float32)
+            mu = jnp.mean(obf, axis=-1)
+            var = jnp.mean(obf * obf, axis=-1) - mu * mu
+            mu_ref[0] = mu
+            rstd_ref[0] = lax.rsqrt(var + stats_eps)
         return
     # ---- stage-end LayerNorm epilogue (per-token over d; free in VMEM) --
     # The standalone LN otherwise costs a full read + lane-dim reduce +
@@ -242,6 +255,20 @@ def _pick_ht(h: int, w: int, c: int) -> int | None:
     for ht in (h, 32, 22, 16, 11, 8, 4, 2, 1):
         if ht <= h and h % ht == 0 and (ht + 2) * w * c * 4 <= budget:
             return ht
+    return None
+
+
+def _pick_ht_stats(h: int, w: int, c: int) -> int | None:
+    """Row-tile for the stats-emitting kernel: must be a multiple of 8 (or
+    the full height) so the (1, ht, w) f32 stats blocks satisfy Mosaic's
+    block-shape rule.  Stage 1 (88) tiles at 8; stages 2-4 (44/22/11) have
+    no 8-multiple divisors and run full-height (their hidden blocks are
+    small; the 64 MB stats-mode vmem limit covers stage 2's 8.3 MB)."""
+    for ht in (32, 24, 16, 8):
+        if h % ht == 0 and (ht + 2) * w * c * 4 <= 8 * 1024 * 1024:
+            return ht
+    if (h + 2) * w * c * 4 <= 16 * 1024 * 1024:
+        return h
     return None
 
 
@@ -292,18 +319,29 @@ def fused_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
 
 
 def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
-          lnsf=None, lnbf=None, final_eps=None, save_acc=False):
+          lnsf=None, lnbf=None, final_eps=None, save_acc=False,
+          stats_eps=None):
     from pranet2_tpu.ops._pallas import interpret_mode, use_kernel
 
     n, h, w, d = x.shape
     c = w1.shape[-1]
     ht = _pick_ht(h, w, c) if _HAS_PLTPU else None
+    if stats_eps is not None and ht is not None and not interpret_mode():
+        # the (1, ht, w) stats output blocks need ht % 8 == 0 or ht == h
+        # (Mosaic block-shape rule); fall back to the plain kernel + XLA
+        # stats when no such tile fits
+        ht = _pick_ht_stats(h, w, c)
+        if ht is None:
+            out = _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps)
+            return (out, *reference_ln_stats(out, stats_eps))
     if ht is None or not use_kernel(_HAS_PLTPU):
         if save_acc:
             return reference_mlp_block_with_acc(
                 x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps=eps)
         out = reference_mlp_block(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
                                   eps=eps)
+        if stats_eps is not None:
+            return out, *reference_ln_stats(out, stats_eps)
         if final_eps is not None:
             out = reference_final_ln(out, lnsf, lnbf, final_eps)
         return out
@@ -345,19 +383,68 @@ def _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
                      pl.BlockSpec((1, ht, w, c),
                                   lambda ni, hi: (ni, hi, 0, 0),
                                   memory_space=pltpu.VMEM))
+    elif stats_eps is not None:
+        sspec = pl.BlockSpec((1, ht, w), lambda ni, hi: (ni, hi, 0),
+                             memory_space=pltpu.VMEM)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+                     jax.ShapeDtypeStruct((n, h, w), jnp.float32))
+        out_specs = (out_specs, sspec, sspec)
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, final_eps=final_eps,
-                          save_acc=save_acc),
+                          save_acc=save_acc, stats_eps=stats_eps),
         out_shape=out_shape,
         # default scoped-vmem limit is 16M; the bf16-tap variant peaks a few
-        # hundred KB over it at the stage-2 shape (v5e has far more VMEM)
+        # hundred KB over it at the stage-2 shape (v5e has far more VMEM);
+        # stats mode runs stages 2-4 full-height (see _pick_ht_stats)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=(64 if stats_eps is not None else 32)
+            * 1024 * 1024),
         interpret=interpret_mode(),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
     )(*args)
+
+
+def reference_ln_stats(x, eps):
+    """Per-token LayerNorm statistics of ``x`` — (mu, rstd), f32."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1)
+    var = jnp.mean(xf * xf, axis=-1) - mu * mu
+    return mu, lax.rsqrt(var + eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_mlp_block_stats(x, lns, lnb, w1, b1, dwk, dwb, w2, b2,
+                          eps: float = 1e-6, stats_eps: float = 1e-6):
+    """The MLP block plus the per-token LN statistics of its OUTPUT —
+    ``(out, mu, rstd)``.  The next transformer block's XLA-side LN1 (the
+    K/V path's) then applies ``(out - mu) * rstd * lns + lnb`` as a pure
+    elementwise fusion instead of paying its own lane-dim reduce pass over
+    the map (the convert_reduce residue of the round-5 profile).  Stats
+    are computed from the CAST output in-kernel, so they are bit-identical
+    to what XLA would recompute from the block's output tensor."""
+    return _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
+                 stats_eps=stats_eps)
+
+
+def _vjp_fwd_stats(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps, stats_eps):
+    out = _impl(x, lns, lnb, w1, b1, dwk, dwb, w2, b2, eps,
+                stats_eps=stats_eps)
+    return out, (x, lns, lnb, w1, b1, dwk, dwb, w2, b2)
+
+
+def _vjp_bwd_stats(eps, stats_eps, res, g):
+    def ref(*a):
+        o = reference_mlp_block(*a, eps=eps)
+        return (o, *reference_ln_stats(o, stats_eps))
+
+    _, vjp = jax.vjp(ref, *res)
+    return vjp(g)
+
+
+fused_mlp_block_stats.defvjp(_vjp_fwd_stats, _vjp_bwd_stats)
 
 
 def reference_final_ln(x, lns, lnb, eps):

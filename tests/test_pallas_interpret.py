@@ -357,3 +357,21 @@ def test_mlp_kernel_save_acc_interpret(rng, monkeypatch):
     ref_out, ref_acc = pvt_mlp.reference_mlp_block_with_acc(*a, eps=1e-6)
     assert _rel_err(out, ref_out) < 3e-3
     assert _rel_err(acc, ref_acc) < 3e-3
+
+
+def test_mlp_kernel_ln_stats_interpret(rng, monkeypatch):
+    """stats mode: (out, mu, rstd) == the reference block + LN stats of
+    its output."""
+    from pranet2_tpu.ops import pvt_mlp
+
+    monkeypatch.setattr(pvt_mlp, "_pick_ht", lambda *a: 2)
+    a = _mlp_args(rng)
+    out, mu, rstd = pvt_mlp.fused_mlp_block_stats(*a, 1e-6, 1e-6)
+    ref = pvt_mlp.reference_mlp_block(*a)
+    rmu, rrstd = pvt_mlp.reference_ln_stats(ref, 1e-6)
+    assert _rel_err(out, ref) < 3e-3
+    # stats are computed from the kernel's own (approximate) output, so
+    # compare against stats of THAT output
+    kmu, krstd = pvt_mlp.reference_ln_stats(out, 1e-6)
+    assert _rel_err(mu, kmu) < 1e-5 and _rel_err(rstd, krstd) < 1e-5
+    assert _rel_err(mu, rmu) < 3e-3 and _rel_err(rstd, rrstd) < 2e-2

@@ -81,7 +81,15 @@ def test_predictor_mesh_sharded_matches_single(rng):
                               mesh=make_mesh())
     out_a, out_b = single(images), sharded(images)
     for a, b in zip(out_a, out_b):
-        np.testing.assert_array_equal(a, b)
+        # The per-shard program is mathematically identical, but XLA:CPU
+        # compiles different executables for the (1,...) shard vs (8,...)
+        # batch shapes, whose vectorization may reassociate f32 sums — a
+        # pixel sitting exactly on a uint8 quantization boundary can land
+        # one step apart.  Require agreement to one quantization step on
+        # <0.1% of pixels (observed: 1 of 2688).
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+        assert (diff != 0).mean() < 1e-3
 
 
 @pytest.mark.slow

@@ -87,6 +87,22 @@ def main():
             ("decdot ON", "pranet_v2", {"PRANET2_FUSED": base + ",decdot"}),
             ("decdot ON", "pvt_pranet_v2", {"PRANET2_FUSED": base + ",decdot"}),
         ]
+    elif which == "attnroute":
+        cases = [
+            ("attn v1 everywhere (default)", "pvt_pranet_v2",
+             {"PVT_ATTN_IMPL": "v1"}),
+            ("attn auto:1 (v2 at stage 4)", "pvt_pranet_v2",
+             {"PVT_ATTN_IMPL": "auto:1"}),
+            ("attn auto:2 (v2 at stages 3-4)", "pvt_pranet_v2",
+             {"PVT_ATTN_IMPL": "auto:2"}),
+        ]
+    elif which == "lnstats":
+        base = "mlp,attn,s2d,s2dmax,pes2d,gstage"
+        cases = [
+            ("lnstats ON", "pvt_pranet_v2",
+             {"PRANET2_FUSED": base + ",lnstats"}),
+            ("lnstats OFF", "pvt_pranet_v2", {"PRANET2_FUSED": base}),
+        ]
     else:
         raise SystemExit(f"unknown mode {which}")
     print(f"device: {jax.devices()[0].device_kind}")
