@@ -250,9 +250,16 @@ def _kernel(xp_ref, xc_ref, xn_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
 
 def _pick_ht(h: int, w: int, c: int) -> int | None:
-    """Largest row-tile keeping the two live f32 hidden blocks ~<=6 MB."""
-    budget = 3 * 1024 * 1024
-    for ht in (h, 32, 22, 16, 11, 8, 4, 2, 1):
+    """Largest row-tile with per-hidden-block f32 footprint <= 8 MB.
+
+    Round-5 on-chip sweep (full PVT-PraNet-V2 bs16, same session): the
+    original 3 MB budget (stage-1 ht=11) = 1,412.1 img/s, 8 MB (stage-1
+    ht=22) = 1,438.7 — fewer grid steps amortize per-step overhead and
+    halo rows.  ~3.3 live hidden-sized buffers at 8 MB stay under the
+    kernel's 32 MB vmem limit; a 20 MB budget (whole-image stage-1 tiles)
+    exceeds it and fails to compile."""
+    budget = 8 * 1024 * 1024
+    for ht in (h, 44, 32, 22, 16, 11, 8, 4, 2, 1):
         if ht <= h and h % ht == 0 and (ht + 2) * w * c * 4 <= budget:
             return ht
     return None
