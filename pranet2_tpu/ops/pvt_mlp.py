@@ -270,7 +270,10 @@ def _pick_ht_stats(h: int, w: int, c: int) -> int | None:
     the full height) so the (1, ht, w) f32 stats blocks satisfy Mosaic's
     block-shape rule.  Stage 1 (88) tiles at 8; stages 2-4 (44/22/11) have
     no 8-multiple divisors and run full-height (their hidden blocks are
-    small; the 64 MB stats-mode vmem limit covers stage 2's 8.3 MB)."""
+    small; the 64 MB stats-mode vmem limit covers stage 2's 8.3 MB).
+    Stage-1 full-height (the only larger Mosaic-legal tile) measured a
+    clear on-chip loss — PVT bs16 1,447.0 -> 1,316.4, ~53 MB of live
+    hidden buffers defeat the pipeline — so 8 stays."""
     for ht in (32, 24, 16, 8):
         if h % ht == 0 and (ht + 2) * w * c * 4 <= 8 * 1024 * 1024:
             return ht
